@@ -1,0 +1,82 @@
+package graft.analysis
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden token-stream tests ported from the reference's unit tests
+  * (reference: src/test/java/icat/lucene/TestLucene.java:89-200) — these are
+  * real outputs of the reference engine and pin the whole analysis chain.
+  */
+class AnalyzerSpec extends AnyFunSuite {
+
+  test("IcatAnalyzer golden: demo sentence (TestLucene.java:91-112)") {
+    val text = "This is a demo   of the 1st (or is it number 2) all singing and dancing TokenStream's API with added aardvarks"
+    val got = Analyzers.Icat(text)
+    assert(got.terms.mkString(" ") ===
+      "demo of 1st number 2 all sing danc tokenstream api ad aardvark")
+    assert(got.terms.length === 12)
+    assert(got.positions === 12)
+  }
+
+  test("IcatAnalyzer golden: chemical-symbol stop words (TestLucene.java:177-200)") {
+    val got = Analyzers.Icat("as at be in no that the their then there")
+    assert(got.terms.mkString(" ") === "as at be in no")
+    assert(got.terms.length === 5)
+  }
+
+  test("IcatSynonymAnalyzer golden: elements + techniques (TestLucene.java:118-141)") {
+    val text = "hydrogen Helium LITHIUM be B NE ionisation TIME of FLIGHT technique ArPeS"
+    val got = Analyzers.IcatSynonym(text)
+    assert(got.terms.mkString(" ") ===
+      "h hydrogen he helium li lithium beryllium be boron b neon ne ioniz ionis tof time of flight techniqu arp angl resolv photoemiss spectroscopi")
+    assert(got.terms.length === 24)
+  }
+
+  test("synonym position counting: injected tokens share positions") {
+    // hydrogen -> {h, hydrogen} is one position; arpes expands to 4 slots
+    assert(Analyzers.IcatSynonym("hydrogen").positions === 1)
+    assert(Analyzers.IcatSynonym("arpes").positions === 4)
+    assert(Analyzers.IcatSynonym("time of flight").positions === 3)
+  }
+
+  test("tokenizer: mid-word joiners and punctuation") {
+    assert(WordBreak.tokenize("file.txt path/to x,y 3.14 1,000").toSeq ===
+      Seq("file.txt", "path", "to", "x", "y", "3.14", "1,000"))
+    assert(WordBreak.tokenize("needle_3 foo_bar a.3 (or 2)").toSeq ===
+      Seq("needle_3", "foo_bar", "a", "3", "or", "2"))
+  }
+
+  test("possessive filter") {
+    assert(Analyzers.stripPossessive("TokenStream's") === "TokenStream")
+    assert(Analyzers.stripPossessive("its’S") === "its’S".dropRight(2))
+    assert(Analyzers.stripPossessive("s") === "s")
+  }
+
+  test("porter stemmer: published-algorithm spot checks") {
+    val cases = Map(
+      "caresses" -> "caress", "ponies" -> "poni", "ties" -> "ti",
+      "caress" -> "caress", "cats" -> "cat", "feed" -> "feed",
+      "agreed" -> "agre", "plastered" -> "plaster", "bled" -> "bled",
+      "motoring" -> "motor", "sing" -> "sing", "conflated" -> "conflat",
+      "troubled" -> "troubl", "sized" -> "size", "hopping" -> "hop",
+      "tanned" -> "tan", "falling" -> "fall", "hissing" -> "hiss",
+      "fizzed" -> "fizz", "failing" -> "fail", "filing" -> "file",
+      "happy" -> "happi", "sky" -> "sky", "relational" -> "relat",
+      "conditional" -> "condit", "rational" -> "ration", "valenci" -> "valenc",
+      "digitizer" -> "digit", "operator" -> "oper", "feudalism" -> "feudal",
+      "decisiveness" -> "decis", "hopefulness" -> "hope", "callousness" -> "callous",
+      "formaliti" -> "formal", "sensitiviti" -> "sensit", "sensibiliti" -> "sensibl",
+      "triplicate" -> "triplic", "formative" -> "form", "formalize" -> "formal",
+      "electriciti" -> "electr", "electrical" -> "electr", "hopeful" -> "hope",
+      "goodness" -> "good", "revival" -> "reviv", "allowance" -> "allow",
+      "inference" -> "infer", "airliner" -> "airlin", "gyroscopic" -> "gyroscop",
+      "adjustable" -> "adjust", "defensible" -> "defens", "irritant" -> "irrit",
+      "replacement" -> "replac", "adjustment" -> "adjust", "dependent" -> "depend",
+      "adoption" -> "adopt", "homologou" -> "homolog", "communism" -> "commun",
+      "activate" -> "activ", "angulariti" -> "angular", "homologous" -> "homolog",
+      "effective" -> "effect", "bowdlerize" -> "bowdler", "probate" -> "probat",
+      "rate" -> "rate", "cease" -> "ceas", "controll" -> "control", "roll" -> "roll")
+    cases.foreach { case (in, want) =>
+      assert(PorterStemmer.stem(in) === want, s"stem($in)")
+    }
+  }
+}
