@@ -1,0 +1,141 @@
+package graft.build
+
+import graft.analysis.{Analyzers, TextAnalyzer}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Global collection statistics needed by BM25 (reference semantics:
+  * Lucene's per-index CollectionStatistics; we use one logical index —
+  * SURVEY.md §2.8: N, df, avgdl with avgdl = sumTotalTermFreq/docCount
+  * over UNquantized totals). */
+final case class CorpusStats(docCount: Long, sumTotalTermFreq: Long) {
+  def avgdl: Double = sumTotalTermFreq.toDouble / docCount
+}
+
+/** The index table bundle — the Spark-native equivalent of a committed
+  * Lucene index (reference: IndexBucket/ShardBucket, Lucene.java:115-264):
+  *
+  *  - corpus:    docId + the original turn row (stored fields)
+  *  - postings:  (term, docId, tf, norm, role, tool, ts) — one row per
+  *               distinct (term, doc); `norm` is the Lucene-quantized
+  *               length byte; role/tool/ts are denormalized so attribute
+  *               FILTER legs are plain pushed-down scan predicates instead
+  *               of a corpus join (the analogue of Lucene keeping doc
+  *               values colocated with each segment)
+  *  - termStats: (term, df, cf)
+  *  - stats:     global docCount / sumTotalTermFreq
+  */
+final case class Index(
+    corpus: DataFrame,
+    postings: DataFrame,
+    termStats: DataFrame,
+    stats: CorpusStats,
+    analyzerName: String) {
+  def analyzer: TextAnalyzer = Analyzers.byName(analyzerName)
+}
+
+object IndexBuilder {
+
+  /** Build the inverted index tables from a corpus with docIds.
+    *
+    * Shuffle plan (scale notes):
+    *  - tokenize: narrow (flatMap-style projection, no shuffle)
+    *  - groupBy(term, docId): ONE shuffle; keys include docId so Zipf-hot
+    *    terms spread over all partitions — no skew here, and partial
+    *    (map-side) aggregation compacts duplicates before the exchange
+    *  - termStats groupBy(term): second shuffle over far fewer rows
+    *    (distinct (term,doc) pairs), again partial-aggregated; a hot term
+    *    arrives as at most numPartitions pre-summed rows
+    * Salted repartitioning for hot terms applies to the term-major packed
+    * layout (graft.build.SaltedPostings) where whole posting lists must be
+    * assembled on one task.
+    */
+  def build(corpusWithIds: DataFrame, analyzer: TextAnalyzer): Index = {
+    val spark = corpusWithIds.sparkSession
+    val analyzeUdf = udf((s: String) => {
+      val a = analyzer(if (s == null) "" else s)
+      (a.terms, a.positions)
+    })
+    val normUdf = udf((positions: Int) => SmallFloat.intToByte4(positions))
+
+    val hasAttrs = Seq("role", "tool", "ts").forall(corpusWithIds.columns.contains)
+    val attrCols = if (hasAttrs) Seq(col("role"), col("tool"), col("ts")) else Nil
+
+    val analyzed = corpusWithIds
+      .select(Seq(col("docId"), analyzeUdf(col("text")).as("a")) ++ attrCols: _*)
+      .select(Seq(col("docId"), col("a._1").as("terms"), normUdf(col("a._2")).as("norm")) ++ attrCols: _*)
+
+    val tokens = analyzed.select(
+      Seq(col("docId"), col("norm"), explode(col("terms")).as("term")) ++ attrCols: _*)
+
+    val postings = tokens
+      .groupBy(Seq(col("term"), col("docId"), col("norm")) ++ attrCols: _*)
+      .agg(count(lit(1)).cast("int").as("tf"))
+
+    val termStats = postings
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+
+    val stats = computeStats(postings)
+    Index(corpusWithIds, postings, termStats, stats, analyzer.name)
+  }
+
+  private def computeStats(postings: DataFrame): CorpusStats = {
+    val row = postings
+      .agg(countDistinct(col("docId")).as("docCount"), sum(col("tf")).as("sttf"))
+      .collect()(0)
+    if (row.isNullAt(0) || row.isNullAt(1)) CorpusStats(0L, 0L)
+    else CorpusStats(row.getLong(0), row.getLong(1))
+  }
+
+  /** Persist the index as a directory of parquet tables + metadata.
+    *
+    * Postings are written hash-distributed on (term, salt) — hot terms
+    * (df above `hotDfThreshold`) are salted across `salt` buckets so no
+    * single write task owns a Zipf head term — and sorted by (term, docId)
+    * within partitions so parquet row-group min/max stats on `term` give
+    * file/row-group pruning for query-term lookups.
+    */
+  def save(index: Index, dir: String, numPartitions: Int = 0,
+           hotDfThreshold: Long = 1000000L, saltBuckets: Int = 16): Unit = {
+    val spark = index.corpus.sparkSession
+    val n = if (numPartitions > 0) numPartitions
+            else spark.sessionState.conf.numShufflePartitions
+
+    index.corpus.write.mode("overwrite").parquet(s"$dir/corpus")
+    index.termStats.write.mode("overwrite").parquet(s"$dir/termstats")
+
+    val hotTerms = index.termStats
+      .filter(col("df") >= hotDfThreshold)
+      .select("term").collect().map(_.getString(0)).toSet
+    val bHot = spark.sparkContext.broadcast(hotTerms)
+    val isHot = udf((t: String) => bHot.value.contains(t))
+    index.postings
+      .withColumn("_salt",
+        when(isHot(col("term")), pmod(hash(col("docId")), lit(saltBuckets))).otherwise(lit(0)))
+      .repartition(n, col("term"), col("_salt"))
+      .drop("_salt")
+      .sortWithinPartitions("term", "docId")
+      .write.mode("overwrite").parquet(s"$dir/postings")
+
+    val meta =
+      s"""{"analyzer":"${index.analyzerName}","docCount":${index.stats.docCount},""" +
+        s""""sumTotalTermFreq":${index.stats.sumTotalTermFreq},"version":1}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/meta.json"), meta)
+  }
+
+  /** Load a persisted index. */
+  def load(spark: SparkSession, dir: String): Index = {
+    val meta = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$dir/meta.json"))
+    def field(k: String): String = {
+      val m = java.util.regex.Pattern.compile("\"" + k + "\":\"?([^,}\"]+)").matcher(meta)
+      require(m.find(), s"missing $k in meta.json"); m.group(1)
+    }
+    Index(
+      corpus = spark.read.parquet(s"$dir/corpus"),
+      postings = spark.read.parquet(s"$dir/postings"),
+      termStats = spark.read.parquet(s"$dir/termstats"),
+      stats = CorpusStats(field("docCount").toLong, field("sumTotalTermFreq").toLong),
+      analyzerName = field("analyzer"))
+  }
+}

@@ -1,0 +1,70 @@
+package graft.corpus
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dense docId assignment by stable (conv_id, turn_idx) ordering — the
+  * per-row invariant the driver checks ("per-turn text equality under
+  * stable turn ordering"). Equivalent role to Lucene's internal doc ids
+  * (reference: Lucene.java:1631-1639 one Document per row; ids are the
+  * engine-side ordering handle and final sort tiebreak,
+  * SearchBucket.java:962,988).
+  *
+  * Scalable two-pass scheme (no single-partition window):
+  *   1. range-repartition by the ordering key and sort within partitions —
+  *      partitions now hold contiguous key ranges;
+  *   2. count rows per partition, prefix-sum the counts on the driver
+  *      (one long per partition), and assign ids per partition from the
+  *      broadcast offsets.
+  * The resulting ids depend only on the total order, not on partition
+  * boundaries, so the assignment is deterministic at any parallelism.
+  */
+object DocIds {
+
+  def assign(df: DataFrame, orderCols: Seq[String], numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val n = if (numPartitions > 0) numPartitions
+            else spark.sessionState.conf.numShufflePartitions
+    val cols = orderCols.map(col)
+    val parted = df
+      .repartitionByRange(n, cols: _*)
+      .sortWithinPartitions(cols: _*)
+      .persist()
+    try {
+      val counts: Array[(Int, Long)] = parted.queryExecution.toRdd
+        .mapPartitionsWithIndex { (pid, it) =>
+          var c = 0L; while (it.hasNext) { it.next(); c += 1 }
+          Iterator.single((pid, c))
+        }
+        .collect()
+      val offsets = new Array[Long](counts.length + 1)
+      counts.sortBy(_._1).foreach { case (pid, c) => offsets(pid + 1) = c }
+      var i = 1
+      while (i < offsets.length) { offsets(i) += offsets(i - 1); i += 1 }
+      val bOffsets = spark.sparkContext.broadcast(offsets)
+
+      val outSchema = org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("docId", org.apache.spark.sql.types.LongType, nullable = false)
+          +: parted.schema.fields)
+      val enc = org.apache.spark.sql.Encoders.row(outSchema)
+      parted.mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        var next = bOffsets.value(pid)
+        it.map { row =>
+          val r = Row.fromSeq(next +: row.toSeq)
+          next += 1
+          r
+        }
+      }(enc)
+    } finally {
+      // lazily unpersisted by caller via .persist lifecycle; keep cached
+      // here because the mapPartitions pass re-reads the same partitions.
+      ()
+    }
+  }
+
+  /** Corpus helper: assign docIds to a turns dataset. */
+  def forTurns(turns: Dataset[graft.model.Turn]): DataFrame =
+    assign(turns.toDF(), Seq("conv_id", "turn_idx"))
+}

@@ -1,0 +1,130 @@
+package graft.model
+
+import java.time.format.DateTimeFormatter
+import java.time.{LocalDateTime, ZoneOffset}
+
+/** The corpus row shape mandated by the input hint: one conversation turn.
+  * docId is assigned densely by stable (conv_id, turn_idx) ordering
+  * (see graft.corpus.DocIds). */
+final case class Turn(
+    conv_id: String,
+    turn_idx: Int,
+    role: String,
+    text: String,
+    tool: Option[String],
+    ts: java.sql.Timestamp)
+
+/** Query AST mirroring the reference's boolean query surface
+  * (reference: SearchBucket.java:221-452 — MUST / SHOULD / MUST_NOT /
+  * FILTER occur clauses over term, range and set-membership leaves).
+  * Scoring leaves are analyzed terms; attribute predicates are
+  * non-scoring (Occur.FILTER semantics: they constrain matches but
+  * contribute 0 to the score). */
+sealed trait Query
+
+/** Matches every document with constant score 1.0
+  * (reference: SearchBucket.java:636-642 MatchAllDocsQuery fallback). */
+case object MatchAll extends Query
+
+/** Matches nothing (reference: SearchBucket.java:830 empty-set query). */
+case object MatchNone extends Query
+
+/** A single already-analyzed term, BM25-scored. */
+final case class TermQuery(term: String) extends Query
+
+/** Boolean combination; scores = sum of matching must+should clause
+  * scores; filter and mustNot contribute nothing to the score. */
+final case class BoolQuery(
+    must: Seq[Query] = Nil,
+    should: Seq[Query] = Nil,
+    mustNot: Seq[Query] = Nil,
+    filter: Seq[AttrPredicate] = Nil
+) extends Query
+
+/** Non-scoring attribute predicates (role/tool exact or set membership,
+  * timestamp ranges — reference: SearchBucket.java:799-839, 347-357). */
+sealed trait AttrPredicate
+final case class FieldEquals(field: String, value: String) extends AttrPredicate
+final case class FieldIn(field: String, values: Seq[String]) extends AttrPredicate
+/** Inclusive epoch-millis range on ts. */
+final case class TsRange(lowerMs: Long, upperMs: Long) extends AttrPredicate
+
+object QueryText {
+
+  /** Mini query-string parser covering the reference surface required by
+    * the north rule: bare terms (default OR), `+term` (MUST), `-term`
+    * (MUST_NOT) — phrase-free (reference default-OR parser configured at
+    * DocumentMapping.java:120-146, SearchBucket occurs throughout).
+    * Each word is analyzed; a word that analyzes to several tokens
+    * (synonym expansion) becomes a SHOULD group at that position. */
+  def parse(text: String, analyze: String => Array[String]): Query = {
+    val words = text.trim.split("\\s+").filter(_.nonEmpty)
+    var must = List.empty[Query]
+    var should = List.empty[Query]
+    var mustNot = List.empty[Query]
+    words.foreach { w =>
+      val (occ, body) =
+        if (w.startsWith("+")) ('+', w.substring(1))
+        else if (w.startsWith("-")) ('-', w.substring(1))
+        else (' ', w)
+      val terms = analyze(body)
+      if (terms.nonEmpty) {
+        val node: Query =
+          if (terms.length == 1) TermQuery(terms(0))
+          else BoolQuery(should = terms.toSeq.map(TermQuery(_)))
+        occ match {
+          case '+' => must ::= node
+          case '-' => mustNot ::= node
+          case _   => should ::= node
+        }
+      }
+    }
+    if (must.isEmpty && should.isEmpty && mustNot.isEmpty) MatchAll
+    else BoolQuery(must.reverse, should.reverse, mustNot.reverse)
+  }
+}
+
+object Dates {
+  private val fmt = DateTimeFormatter.ofPattern("yyyyMMddHHmm")
+
+  /** Parse the reference's `yyyyMMddHHmm` GMT date-string format
+    * (reference: SearchBucket.java:623-627). */
+  def parseMs(s: String): Long =
+    LocalDateTime.parse(s, fmt).toInstant(ZoneOffset.UTC).toEpochMilli
+
+  /** Upper bounds get +59,999 ms so a minute-precision upper bound is
+    * inclusive of its whole minute (reference: SearchBucket.java:347-357). */
+  def parseUpperMs(s: String): Long = parseMs(s) + 59999L
+}
+
+/** Sort specification: list of (field, ascending); docId asc is always the
+  * final tiebreak (reference: SearchBucket.java:959-992 — appends `id` asc;
+  * no sort ⇒ score desc, id asc). */
+final case class SortSpec(fields: Seq[(String, Boolean)]) {
+  def isScore: Boolean = fields.isEmpty
+}
+
+/** Keyset-pagination token, mirroring the reference's search_after shape
+  * {doc, score?, fields[]} (reference: Lucene.java:1544-1561). */
+final case class AfterToken(docId: Long, score: Option[Float], fields: Seq[Any])
+
+final case class SearchRequest(
+    text: Option[String] = None,
+    filter: Map[String, Seq[String]] = Map.empty, // role / tool / conv_id
+    lower: Option[String] = None,                 // yyyyMMddHHmm
+    upper: Option[String] = None,
+    sort: SortSpec = SortSpec(Nil),
+    searchAfter: Option[AfterToken] = None,
+    maxResults: Int = 10)
+
+final case class ScoredHit(
+    docId: Long,
+    score: Float,
+    conv_id: String,
+    turn_idx: Int,
+    role: String,
+    text: String,
+    tool: Option[String],
+    ts: java.sql.Timestamp)
+
+final case class SearchResponse(hits: Seq[ScoredHit], searchAfter: Option[AfterToken])

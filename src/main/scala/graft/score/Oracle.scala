@@ -1,0 +1,143 @@
+package graft.score
+
+import graft.analysis.TextAnalyzer
+import graft.build.SmallFloat
+import graft.model._
+
+import scala.collection.mutable
+
+/** Deliberately naive single-threaded reference scorer (FIXTURES.md §3):
+  * full scan over an in-memory corpus, implementing Lucene 8.11 BM25
+  * semantics (SmallFloat norm quantization, float per-clause scores,
+  * double-accumulated sums, score-desc/docId-asc tiebreak) independently
+  * of the distributed engine. The engine's top-k must be rank-identical
+  * and score-equal to this oracle on every test corpus.
+  *
+  * It intentionally shares NO computation path with the Spark engine:
+  * postings, stats and scores are recomputed here with plain Scala
+  * collections.
+  */
+final class NaiveOracle(docs: Seq[NaiveOracle.Doc]) {
+  import NaiveOracle.Doc
+
+  private val byId: Map[Long, Doc] = docs.map(d => d.docId -> d).toMap
+
+  // term -> docId -> tf (plain nested maps; clarity over speed)
+  private val postings: Map[String, Map[Long, Int]] = {
+    val m = mutable.HashMap.empty[String, mutable.HashMap[Long, Int]]
+    docs.foreach { d =>
+      d.terms.foreach { t =>
+        val inner = m.getOrElseUpdate(t, mutable.HashMap.empty)
+        inner(d.docId) = inner.getOrElse(d.docId, 0) + 1
+      }
+    }
+    m.map { case (k, v) => k -> v.toMap }.toMap
+  }
+
+  private val docsWithTokens = docs.filter(_.terms.nonEmpty)
+  val docCount: Long = docsWithTokens.size.toLong
+  val sumTotalTermFreq: Long = docs.map(_.terms.length.toLong).sum
+  private val avgdlF: Float = (sumTotalTermFreq / docCount.toDouble).toFloat
+
+  private def normByte(d: Doc): Byte = SmallFloat.intToByte4(d.positions)
+
+  def df(term: String): Long = postings.get(term).map(_.size.toLong).getOrElse(0L)
+
+  /** Lucene 8.11 BM25 per-term score, recomputed here from the published
+    * formula (same op order as BM25Scorer; see Bm25 scaladoc). */
+  private def termScore(term: String, d: Doc): Option[Float] =
+    postings.get(term).flatMap(_.get(d.docId)).map { tf =>
+      val idfD = math.log(1d + (docCount - df(term) + 0.5d) / (df(term) + 0.5d))
+      val weight = idfD.toFloat
+      val dl = SmallFloat.byte4ToInt(normByte(d)).toFloat
+      val norm: Double = (1.2f * ((1 - 0.75f) + 0.75f * dl / avgdlF)).toDouble
+      (weight - weight / (1d + tf.toFloat / norm)).toFloat
+    }
+
+  /** Evaluate a query against one doc: Some(score) when it matches. */
+  def scoreDoc(q: Query, d: Doc): Option[Float] = q match {
+    case MatchAll     => Some(1.0f)
+    case MatchNone    => None
+    case TermQuery(t) => termScore(t, d)
+    case BoolQuery(must, should, mustNot, filter) =>
+      if (!filter.forall(matchesAttr(_, d))) return None
+      if (mustNot.exists(scoreDoc(_, d).isDefined)) return None
+      val mustScores = must.map(scoreDoc(_, d))
+      if (mustScores.exists(_.isEmpty)) return None
+      val shouldScores = should.flatMap(scoreDoc(_, d))
+      val all = mustScores.flatten ++ shouldScores
+      if (all.isEmpty) {
+        // no scoring clauses at all: pure filter/mustNot query matches all
+        if (must.isEmpty && should.isEmpty) Some(1.0f) else None
+      } else {
+        var acc = 0d
+        all.foreach(s => acc += s)
+        Some(acc.toFloat)
+      }
+  }
+
+  def matchesAttr(p: AttrPredicate, d: Doc): Boolean = p match {
+    case FieldEquals("role", v) => d.role == v
+    case FieldEquals("tool", v) => d.tool.contains(v)
+    case FieldEquals("conv_id", v) => d.convId == v
+    case FieldEquals(f, _)      => sys.error(s"unknown field $f")
+    case FieldIn("role", vs)    => vs.contains(d.role)
+    case FieldIn("tool", vs)    => d.tool.exists(vs.contains)
+    case FieldIn("conv_id", vs) => vs.contains(d.convId)
+    case FieldIn(f, _)          => sys.error(s"unknown field $f")
+    case TsRange(lo, hi)        => d.tsMs >= lo && d.tsMs <= hi
+  }
+
+  /** Full-scan top-k: score every doc, sort (score desc, docId asc),
+    * apply the keyset search_after predicate, take k. */
+  def topK(q: Query, filters: Seq[AttrPredicate], k: Int,
+           after: Option[AfterToken] = None): Seq[(Long, Float)] = {
+    val hits = docs.flatMap { d =>
+      if (!filters.forall(matchesAttr(_, d))) None
+      else scoreDoc(q, d).map(s => (d.docId, s))
+    }
+    val sorted = hits.sortBy { case (id, s) => (-s, id) }
+    val paged = after match {
+      case Some(a) =>
+        val s = a.score.get
+        sorted.filter { case (id, sc) => sc < s || (sc == s && id > a.docId) }
+      case None => sorted
+    }
+    paged.take(k)
+  }
+
+  /** Field-sorted top-k over matching docs. Sort fields: ts (epoch ms). */
+  def topKSorted(q: Query, filters: Seq[AttrPredicate],
+                 sort: Seq[(String, Boolean)], k: Int): Seq[(Long, Float)] = {
+    val hits = docs.flatMap { d =>
+      if (!filters.forall(matchesAttr(_, d))) None
+      else scoreDoc(q, d).map(s => (d, s))
+    }
+    def key(d: Doc, f: String): Long = f match {
+      case "ts"       => d.tsMs
+      case "turn_idx" => d.turnIdx.toLong
+      case other      => sys.error(s"unsupported sort field $other")
+    }
+    def lessThan(d1: Doc, d2: Doc): Boolean = {
+      sort.foreach { case (f, asc) =>
+        val k1v = key(d1, f); val k2v = key(d2, f)
+        if (k1v != k2v) return if (asc) k1v < k2v else k1v > k2v
+      }
+      d1.docId < d2.docId
+    }
+    val sorted = hits.sortWith { case ((d1, _), (d2, _)) => lessThan(d1, d2) }
+    sorted.take(k).map { case (d, s) => (d.docId, s) }
+  }
+}
+
+object NaiveOracle {
+  final case class Doc(
+      docId: Long, convId: String, turnIdx: Int, role: String,
+      tool: Option[String], tsMs: Long, terms: Array[String], positions: Int)
+
+  def fromTurns(turns: Seq[(Long, Turn)], analyzer: TextAnalyzer): NaiveOracle =
+    new NaiveOracle(turns.map { case (id, t) =>
+      val a = analyzer(t.text)
+      Doc(id, t.conv_id, t.turn_idx, t.role, t.tool, t.ts.getTime, a.terms, a.positions)
+    })
+}

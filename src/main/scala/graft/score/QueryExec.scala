@@ -1,0 +1,212 @@
+package graft.score
+
+import graft.build.Index
+import graft.model._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed boolean/BM25 query evaluation over the flat postings table.
+  *
+  * Plan shape (the Spark-native replacement for the reference's
+  * per-shard sequential search loop, Lucene.java:1467-1516):
+  *
+  *   parquet scan of postings, filtered to the query's terms and the
+  *   non-scoring attribute predicates (both pushed to the scan — the
+  *   analogue of Occur.FILTER legs never entering scoring,
+  *   SearchBucket.java:385-452)
+  *   → broadcast join with per-term weights (float idf)
+  *   → per-row float BM25 score (whole-stage codegen)
+  *   → single hash aggregation by docId implementing the boolean algebra
+  *     (sum scores; count matched MUST groups; flag MUST_NOT hits)
+  *   → orderBy(score desc, docId asc).limit(k)  ⇒  TakeOrderedAndProject
+  *     (per-partition top-k + driver k-way merge, exactly the reference's
+  *     shard merge, Lucene.java:1506-1507, but parallel)
+  *
+  * One shuffle for the aggregation; the top-k needs no further exchange.
+  */
+final class QueryExec(val index: Index) {
+  private val spark = index.corpus.sparkSession
+  import spark.implicits._
+
+  private val avgdlF: Float = (index.stats.sumTotalTermFreq / index.stats.docCount.toDouble).toFloat
+  private val cache: Array[Float] = Bm25.normCache(avgdlF)
+
+  // occur markers for the single-pass aggregation
+  private val OccShould = -1
+  private val OccNot = -2
+
+  /** A flattened boolean query: MUST groups (a group matches when any of
+    * its terms match — the multi-token-analysis/synonym case), flat
+    * SHOULD terms, flat MUST_NOT terms. */
+  private final case class Flat(
+      mustGroups: Seq[Seq[String]], should: Seq[String], mustNot: Seq[String])
+
+  private def flatten(q: BoolQuery): Option[Flat] = {
+    def asTerms(n: Query): Option[Seq[String]] = n match {
+      case TermQuery(t) => Some(Seq(t))
+      case BoolQuery(Nil, sh, Nil, Nil) =>
+        val ts = sh.map { case TermQuery(t) => Some(t); case _ => None }
+        if (ts.forall(_.isDefined)) Some(ts.map(_.get)) else None
+      case _ => None
+    }
+    val must = q.must.map(asTerms)
+    val should = q.should.map(asTerms)
+    val mustNot = q.mustNot.map(asTerms)
+    if ((must ++ should ++ mustNot).forall(_.isDefined))
+      Some(Flat(must.map(_.get), should.flatMap(_.get), mustNot.flatMap(_.get)))
+    else None
+  }
+
+  private def attrCondition(filters: Seq[AttrPredicate]): Option[Column] = {
+    val conds = filters.map {
+      case FieldEquals(f, v) => col(f) === lit(v)
+      case FieldIn(f, vs)    => if (vs.isEmpty) lit(false) else col(f).isin(vs: _*)
+      case TsRange(lo, hi)   =>
+        col("ts") >= lit(new java.sql.Timestamp(lo)) && col("ts") <= lit(new java.sql.Timestamp(hi))
+    }
+    conds.reduceOption(_ && _)
+  }
+
+  /** Broadcast frame of (term, groupId, weightF) for the query's terms.
+    * df is read from the termStats table (collected: query terms are few,
+    * mirroring Lucene reading per-term stats at query-plan time). */
+  private def weightsFrame(termGroups: Seq[(String, Int)]): DataFrame = {
+    val terms = termGroups.map(_._1).distinct
+    val dfMap: Map[String, Long] = index.termStats
+      .filter(col("term").isin(terms: _*))
+      .select("term", "df").as[(String, Long)].collect().toMap
+    val rows = termGroups.flatMap { case (t, g) =>
+      dfMap.get(t).map { df =>
+        (t, g, Bm25.idf(index.stats.docCount, df).toFloat)
+      }
+    }
+    spark.createDataFrame(rows).toDF("term", "groupId", "weightF")
+  }
+
+  /** Evaluate to a frame of (docId, score: float) — matching docs only. */
+  def matches(q: Query, filters: Seq[AttrPredicate] = Nil): DataFrame = q match {
+    case MatchNone =>
+      spark.emptyDataset[(Long, Float)].toDF("docId", "score")
+    case MatchAll =>
+      val base = attrCondition(filters).map(index.corpus.filter).getOrElse(index.corpus)
+      base.select(col("docId"), lit(1.0f).as("score"))
+    case TermQuery(t) =>
+      matches(BoolQuery(should = Seq(TermQuery(t))), filters)
+    case bq: BoolQuery =>
+      val withFilters =
+        if (bq.filter.nonEmpty) bq.copy(filter = Nil) else bq
+      val allFilters = filters ++ bq.filter
+      flatten(withFilters) match {
+        case Some(f) if f.mustGroups.nonEmpty || f.should.nonEmpty =>
+          flatMatches(f, allFilters)
+        case _ => recursiveMatches(withFilters, allFilters)
+      }
+  }
+
+  /** Single-pass path: one postings scan, one aggregation. */
+  private def flatMatches(f: Flat, filters: Seq[AttrPredicate]): DataFrame = {
+    val termGroups: Seq[(String, Int)] =
+      f.mustGroups.zipWithIndex.flatMap { case (g, i) => g.map(t => (t, i)) } ++
+        f.should.map(t => (t, OccShould)) ++
+        f.mustNot.map(t => (t, OccNot))
+    if (termGroups.isEmpty) return matches(MatchAll, filters)
+    val weights = weightsFrame(termGroups)
+    val nMust = f.mustGroups.size
+
+    val allTerms = termGroups.map(_._1).distinct
+    var scan = index.postings.filter(col("term").isin(allTerms: _*))
+    // non-scoring FILTER legs: pushed-down predicates on the denormalized
+    // attribute columns — but MUST_NOT terms must still be observed on
+    // excluded-attribute rows? No: a doc failing the attr filter can never
+    // match, and MUST_NOT only removes docs — filtering first is sound.
+    attrCondition(filters).foreach(c => scan = scan.filter(c))
+
+    val scored = scan
+      .join(broadcast(weights), "term")
+      .withColumn("tscore", Bm25.scoreCol(col("tf"), col("norm"), col("weightF"), cache))
+
+    val agg = scored
+      .groupBy(col("docId"))
+      .agg(
+        sum(when(col("groupId") =!= OccNot, col("tscore"))).as("scoreSum"),
+        size(collect_set(when(col("groupId") >= 0, col("groupId")))).as("mustHit"),
+        max(when(col("groupId") === OccNot, 1)).as("notHit"),
+        max(when(col("groupId") =!= OccNot, 1)).as("anyHit"))
+
+    agg
+      .filter(col("mustHit") === nMust && col("notHit").isNull && col("anyHit") === 1)
+      .select(col("docId"), col("scoreSum").cast("float").as("score"))
+  }
+
+  /** General recursive path for arbitrarily nested boolean trees. */
+  private def recursiveMatches(bq: BoolQuery, filters: Seq[AttrPredicate]): DataFrame = {
+    def ev(q: Query): DataFrame = matches(q, filters)
+    val mustFrames = bq.must.map(ev)
+    val shouldFrames = bq.should.map(ev)
+
+    val scoringUnion = (mustFrames ++ shouldFrames) match {
+      case Nil => matches(MatchAll, filters)
+      case fs  => fs.reduce(_ unionAll _)
+        .groupBy("docId").agg(sum(col("score")).cast("float").as("score"))
+    }
+    // MUST semantics: doc must appear in every must frame
+    val withMust = mustFrames.foldLeft(scoringUnion) { (acc, m) =>
+      acc.join(m.select(col("docId").as("mdocId")).distinct(),
+        col("docId") === col("mdocId"), "left_semi")
+    }
+    // MUST_NOT: anti join
+    bq.mustNot.map(ev).foldLeft(withMust) { (acc, n) =>
+      acc.join(n.select(col("docId").as("ndocId")).distinct(),
+        col("docId") === col("ndocId"), "left_anti")
+    }
+  }
+
+  /** Top-k by (score desc, docId asc) with optional keyset pagination
+    * (reference: SearchBucket.java:959-992 default sort; search_after
+    * clamp semantics SearchBucket.java:892-949). Returns
+    * (docId, score) limited to k — Catalyst plans TakeOrderedAndProject.  */
+  def topK(q: Query, filters: Seq[AttrPredicate], k: Int,
+           after: Option[AfterToken] = None): DataFrame = {
+    var m = matches(q, filters)
+    after.foreach { a =>
+      a.score.foreach { s =>
+        m = m.filter(col("score") < lit(s) ||
+          (col("score") === lit(s) && col("docId") > lit(a.docId)))
+      }
+      if (a.score.isEmpty) m = m.filter(col("docId") > lit(a.docId))
+    }
+    m.orderBy(col("score").desc, col("docId").asc).limit(k)
+  }
+
+  /** Field-sorted top-k (reference: typed sort fields via doc values,
+    * SearchBucket.java:959-992): sort keys are corpus columns; docId asc
+    * is always the final tiebreak; scores are kept through the sort
+    * (populateScores, Lucene.java:1498-1500). */
+  def topKSorted(q: Query, filters: Seq[AttrPredicate], sort: SortSpec, k: Int,
+                 after: Option[AfterToken] = None): DataFrame = {
+    if (sort.isScore) return topK(q, filters, k, after)
+    val m = matches(q, filters)
+    val joined = index.corpus.join(m, "docId")
+    val sortCols = sort.fields.map { case (f, asc) =>
+      if (asc) col(f).asc else col(f).desc
+    } :+ col("docId").asc
+    var res = joined
+    after.foreach { a =>
+      // lexicographic keyset predicate over (sort fields..., docId)
+      val fieldCols = sort.fields.map { case (f, _) => col(f) }
+      val afterVals = a.fields.map(lit(_)) :+ lit(a.docId)
+      val allCols = fieldCols :+ col("docId")
+      val ascFlags = sort.fields.map(_._2) :+ true
+      var pred: Column = lit(false)
+      var eqs: Column = lit(true)
+      allCols.zip(afterVals).zip(ascFlags).foreach { case ((c, v), asc) =>
+        val cmp = if (asc) c > v else c < v
+        pred = pred || (eqs && cmp)
+        eqs = eqs && (c === v)
+      }
+      res = res.filter(pred)
+    }
+    res.orderBy(sortCols: _*).limit(k)
+      .select((Seq(col("docId"), col("score")) ++ sort.fields.map(f => col(f._1))): _*)
+  }
+}

@@ -1,0 +1,130 @@
+package graft.score
+
+import graft.SparkSuite
+import graft.analysis.Analyzers
+import graft.api.SearchEngine
+import graft.build.IndexBuilder
+import graft.corpus.{DocIds, TranscriptGen}
+import graft.model._
+
+/** Engine-vs-oracle parity on the deterministic seed-42 transcript corpus:
+  * the distributed engine's top-k must be rank-identical with scores equal
+  * to the naive full-scan Lucene-8.11-semantics oracle (FIXTURES.md §3),
+  * recasting the reference's query test surface (term, boolean AND/OR/NOT,
+  * fielded filters, date ranges, pagination, match-all sort). */
+class EngineSpec extends SparkSuite {
+
+  private lazy val turns = TranscriptGen.tiny(spark)
+  private lazy val engine = SearchEngine.build(turns, Analyzers.Icat)
+  private lazy val oracle: NaiveOracle = {
+    import spark.implicits._
+    val rows = engine.index.corpus
+      .select("docId", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+      .collect()
+      .map { r =>
+        (r.getLong(0), Turn(r.getString(1), r.getInt(2), r.getString(3),
+          r.getString(4), Option(r.getString(5)), r.getTimestamp(6)))
+      }
+    NaiveOracle.fromTurns(rows.toIndexedSeq, Analyzers.Icat)
+  }
+
+  private def parse(text: String): Query =
+    QueryText.parse(text, s => Analyzers.Icat(s).terms)
+
+  private def engineTopK(q: Query, filters: Seq[AttrPredicate], k: Int,
+                         after: Option[AfterToken] = None): Seq[(Long, Float)] = {
+    new QueryExec(engine.index).topK(q, filters, k, after)
+      .collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+  }
+
+  private def checkParity(text: String, filters: Seq[AttrPredicate] = Nil,
+                          k: Int = 10): Unit = {
+    val q = parse(text)
+    val want = oracle.topK(q, filters, k)
+    val got = engineTopK(q, filters, k)
+    assert(got.map(_._1) === want.map(_._1), s"rank mismatch for '$text'")
+    got.zip(want).foreach { case ((gid, gs), (wid, ws)) =>
+      assert(gid === wid)
+      assert(math.abs(gs - ws) <= math.abs(ws) * 1e-5 + 1e-7,
+        s"score mismatch for '$text' doc $gid: engine=$gs oracle=$ws")
+    }
+  }
+
+  test("corpus is deterministic and docIds dense") {
+    val ids = engine.index.corpus.select("docId").collect().map(_.getLong(0)).sorted
+    assert(ids.head === 0L)
+    assert(ids.last === ids.length - 1L)
+    assert(ids.distinct.length === ids.length)
+  }
+
+  test("q01 single term") { checkParity("needle_3") }
+  test("q02 default OR") { checkParity("needle_3 hydrogen") }
+  test("q03 AND") { checkParity("+needle_3 +rare_001") }
+  test("q04 AND NOT") { checkParity("+needle_3 -ambiguous") }
+  test("q05 term + role filter") {
+    checkParity("needle_3", Seq(FieldEquals("role", "assistant")))
+  }
+  test("q06 term + tool set filter") {
+    checkParity("needle_1", Seq(FieldIn("tool", Seq("bash", "search"))))
+  }
+  test("q07 term + date range") {
+    val lo = Dates.parseMs("202601010000")
+    val hi = Dates.parseUpperMs("202601012359")
+    checkParity("ambiguous", Seq(TsRange(lo, hi)))
+  }
+  test("q10 hot zipf terms") { checkParity("w0000 w0001", k = 100) }
+  test("ambiguous length-normalization (norm quantization)") { checkParity("ambiguous", k = 50) }
+
+  test("q08 search_after pagination: pages concatenate to unpaginated prefix") {
+    val q = parse("ambiguous")
+    val full = oracle.topK(q, Nil, 15)
+    val p1 = engineTopK(q, Nil, 5)
+    val tok1 = AfterToken(p1.last._1, Some(p1.last._2), Nil)
+    val p2 = engineTopK(q, Nil, 5, Some(tok1))
+    val tok2 = AfterToken(p2.last._1, Some(p2.last._2), Nil)
+    val p3 = engineTopK(q, Nil, 5, Some(tok2))
+    assert((p1 ++ p2 ++ p3).map(_._1) === full.map(_._1))
+  }
+
+  test("q09 match-all with ts sort desc") {
+    val got = new QueryExec(engine.index)
+      .topKSorted(MatchAll, Nil, SortSpec(Seq(("ts", false))), 10)
+      .collect().map(_.getLong(0)).toSeq
+    val want = oracle.topKSorted(MatchAll, Nil, Seq(("ts", false)), 10).map(_._1)
+    assert(got === want)
+  }
+
+  test("empty text = match-all scores 1.0") {
+    val got = engineTopK(MatchAll, Nil, 5)
+    assert(got.forall(_._2 === 1.0f))
+  }
+
+  test("save/load roundtrip preserves results") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-idx").toString
+    IndexBuilder.save(engine.index, dir, hotDfThreshold = 50)
+    val loaded = SearchEngine.load(spark, dir)
+    val q = parse("needle_3 hydrogen")
+    val a = engineTopK(q, Nil, 10)
+    val b = new QueryExec(loaded.index).topK(q, Nil, 10)
+      .collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+    assert(a === b)
+  }
+
+  test("facets: role counts over term matches match oracle") {
+    val req = SearchRequest(text = Some("ambiguous"))
+    val got = engine.facetStrings(req, Seq("role"))("role").toMap
+    val q = parse("ambiguous")
+    val matching = oracle.topK(q, Nil, Int.MaxValue).map(_._1).toSet
+    val want = engine.index.corpus.collect()
+      .filter(r => matching.contains(r.getAs[Long]("docId")))
+      .groupBy(_.getAs[String]("role")).map { case (k, v) => k -> v.length.toLong }
+    assert(got === want)
+  }
+
+  test("search facade returns hydrated hits with after-token") {
+    val resp = engine.search(SearchRequest(text = Some("needle_3"), maxResults = 5))
+    assert(resp.hits.nonEmpty)
+    assert(resp.hits.forall(_.text.contains("needle_3")))
+    assert(resp.searchAfter.isDefined)
+  }
+}
