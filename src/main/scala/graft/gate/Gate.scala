@@ -1,0 +1,276 @@
+package graft.gate
+
+import graft.analysis.Analyzers
+import graft.build.{Index, IndexBuilder, SmallFloat}
+import graft.model._
+import graft.score.QueryExec
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The driver-verified correctness gate: every operator exposed through
+  * `SparkEntry.queries` with an equivalent DuckDB oracle SQL.
+  *
+  * The engine queries here run the REAL index/scoring pipeline
+  * (IndexBuilder + QueryExec) over the driver's `documents` table adapted
+  * to the transcript corpus shape (docId = doc_id, role := lang,
+  * tool := source), with the SQL-expressible `simple` analyzer and the
+  * exact (all-double) scoring mode so DuckDB can reproduce scores
+  * bit-closely (round to 4 decimals on both sides). The full Lucene
+  * analysis chain and float scoring are pinned separately by the
+  * golden/oracle ScalaTest suites.
+  */
+object Gate {
+
+  final case class GateQuery(
+      name: String,
+      fn: (SparkSession, String) => DataFrame,
+      sql: Option[String])
+
+  // ---------- gate index over documents.parquet ----------
+
+  private val indexCache = scala.collection.concurrent.TrieMap.empty[String, (Index, QueryExec)]
+
+  def gate(spark: SparkSession, sfDir: String): (Index, QueryExec) =
+    indexCache.getOrElseUpdate(sfDir, {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val corpus = docs.select(
+        col("doc_id").as("docId"),
+        col("doc_id").cast("string").as("conv_id"),
+        lit(0).as("turn_idx"),
+        col("lang").as("role"),
+        col("text"),
+        col("source").as("tool"),
+        (lit(1767225600L) + col("doc_id") * 60).cast("timestamp").as("ts"))
+      val idx0 = IndexBuilder.build(corpus, Analyzers.Simple)
+      val idx = idx0.copy(
+        corpus = idx0.corpus.persist(),
+        postings = idx0.postings.persist(),
+        termStats = idx0.termStats.persist())
+      (idx, new QueryExec(idx, exact = true))
+    })
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+  private def events(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/events.parquet")
+  private def embeddings(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  private def parse(text: String): Query =
+    QueryText.parse(text, s => Analyzers.Simple(s).terms)
+
+  private def topKDf(spark: SparkSession, sfDir: String, text: String,
+                     filters: Seq[AttrPredicate], k: Int,
+                     after: Option[AfterToken] = None): DataFrame = {
+    val (_, exec) = gate(spark, sfDir)
+    exec.topK(parse(text), filters, k, after)
+      .select(col("docId").as("doc_id"), round(col("score"), 4).as("score"))
+  }
+
+  // ---------- shared oracle-SQL prelude (DuckDB) ----------
+  // Tokenization identical to Analyzers.Simple; SmallFloat length
+  // quantization identical to graft.build.SmallFloat; BM25 identical to
+  // QueryExec's exact mode (k1=1.2, b=0.75, all-double arithmetic).
+
+  private val cte =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS term
+      |  FROM documents
+      |), dl AS (
+      |  SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+      |), dlq AS (
+      |  SELECT doc_id, CASE WHEN dl < 8 THEN dl
+      |    ELSE ((((dl >> (CAST(floor(log2(dl)) AS INT) - 3)) & 7) | 8) << (CAST(floor(log2(dl)) AS INT) - 3)) END AS dlq
+      |  FROM dl
+      |), stats AS (
+      |  SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM dl
+      |), post AS (
+      |  SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id
+      |), tstat AS (
+      |  SELECT term, count(*) AS df FROM post GROUP BY term
+      |), scores AS (
+      |  SELECT p.term, p.doc_id,
+      |    ln(1 + (s.n - t.df + 0.5) / (t.df + 0.5)) * p.tf / (p.tf + 1.2 * (0.25 + 0.75 * q.dlq / s.avgdl)) AS tscore
+      |  FROM post p JOIN dlq q USING (doc_id) JOIN tstat t USING (term) CROSS JOIN stats s
+      |)""".stripMargin
+
+  private def sql(body: String): Option[String] = Some(s"$cte\n$body")
+
+  // ---------- the queries ----------
+
+  val all: Seq[GateQuery] = Seq(
+
+    GateQuery("bm25_term",
+      (s, d) => topKDf(s, d, "spark", Nil, 20),
+      sql("""SELECT doc_id, round(tscore, 4) AS score FROM scores WHERE term = 'spark'
+            |ORDER BY tscore DESC, doc_id LIMIT 20""".stripMargin)),
+
+    GateQuery("bm25_or",
+      (s, d) => topKDf(s, d, "spark merge", Nil, 20),
+      sql("""SELECT doc_id, round(score, 4) AS score FROM (
+            |  SELECT doc_id, sum(tscore) AS score FROM scores
+            |  WHERE term IN ('spark','merge') GROUP BY doc_id)
+            |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
+
+    GateQuery("bm25_and",
+      (s, d) => topKDf(s, d, "+spark +vector", Nil, 20),
+      sql("""SELECT doc_id, round(score, 4) AS score FROM (
+            |  SELECT doc_id, sum(tscore) AS score, count(DISTINCT term) AS nt FROM scores
+            |  WHERE term IN ('spark','vector') GROUP BY doc_id)
+            |WHERE nt = 2 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
+
+    GateQuery("bm25_not",
+      (s, d) => topKDf(s, d, "+merge -spark", Nil, 20),
+      sql("""SELECT s.doc_id, round(s.tscore, 4) AS score FROM scores s
+            |WHERE s.term = 'merge'
+            |  AND s.doc_id NOT IN (SELECT doc_id FROM post WHERE term = 'spark')
+            |ORDER BY s.tscore DESC, s.doc_id LIMIT 20""".stripMargin)),
+
+    GateQuery("bm25_filter_lang",
+      (s, d) => topKDf(s, d, "spark", Seq(FieldEquals("role", "en")), 20),
+      sql("""SELECT s.doc_id, round(s.tscore, 4) AS score
+            |FROM scores s JOIN documents doc ON doc.doc_id = s.doc_id
+            |WHERE s.term = 'spark' AND doc.lang = 'en'
+            |ORDER BY s.tscore DESC, s.doc_id LIMIT 20""".stripMargin)),
+
+    GateQuery("bm25_filter_source_in",
+      (s, d) => topKDf(s, d, "merge",
+        Seq(FieldIn("tool", Seq("src1", "src2", "src3"))), 20),
+      sql("""SELECT s.doc_id, round(s.tscore, 4) AS score
+            |FROM scores s JOIN documents doc ON doc.doc_id = s.doc_id
+            |WHERE s.term = 'merge' AND doc.source IN ('src1','src2','src3')
+            |ORDER BY s.tscore DESC, s.doc_id LIMIT 20""".stripMargin)),
+
+    GateQuery("bm25_page2",
+      (s, d) => {
+        // keyset pagination: run page 1 (k=10), continue after its last hit
+        val (_, exec) = gate(s, d)
+        val p1 = exec.topK(parse("spark"), Nil, 10).collect()
+        // exact mode keeps double scores; keyset token carries the double
+        val afterD = p1.lastOption.map(r => (r.getLong(0), r.getDouble(1)))
+        val m = exec.matches(parse("spark"), Nil)
+        val paged = afterD match {
+          case Some((id, sc)) => m.filter(col("score") < lit(sc) ||
+            (col("score") === lit(sc) && col("docId") > lit(id)))
+          case None => m
+        }
+        paged.orderBy(col("score").desc, col("docId").asc).limit(10)
+          .select(col("docId").as("doc_id"), round(col("score"), 4).as("score"))
+      },
+      sql("""SELECT doc_id, round(tscore, 4) AS score FROM scores WHERE term = 'spark'
+            |ORDER BY tscore DESC, doc_id LIMIT 10 OFFSET 10""".stripMargin)),
+
+    GateQuery("term_stats",
+      (s, d) => {
+        val (idx, _) = gate(s, d)
+        idx.termStats
+          .filter(col("term").isin("spark", "merge", "vector", "window", "join"))
+          .select(col("term"), col("df"), col("cf"))
+          .orderBy("term")
+      },
+      sql("""SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf FROM post
+            |WHERE term IN ('spark','merge','vector','window','join')
+            |GROUP BY term ORDER BY term""".stripMargin)),
+
+    GateQuery("corpus_stats",
+      (s, d) => {
+        val (idx, _) = gate(s, d)
+        import s.implicits._
+        Seq((idx.stats.docCount, idx.stats.sumTotalTermFreq))
+          .toDF("doc_count", "sum_ttf")
+      },
+      sql("""SELECT count(*) AS doc_count, CAST(sum(dl) AS BIGINT) AS sum_ttf FROM dl""")),
+
+    GateQuery("postings_term",
+      (s, d) => {
+        val (idx, _) = gate(s, d)
+        val dlqArr = Array.tabulate(256)(j => SmallFloat.byte4ToInt(j.toByte).toLong)
+        idx.postings.filter(col("term") === "vector")
+          .select(col("docId").as("doc_id"), col("tf").cast("long").as("tf"),
+            element_at(typedlit(dlqArr), col("norm").cast("int").bitwiseAND(lit(255)) + 1).as("dlq"))
+          .orderBy("doc_id")
+      },
+      sql("""SELECT p.doc_id, p.tf, q.dlq FROM post p JOIN dlq q USING (doc_id)
+            |WHERE p.term = 'vector' ORDER BY p.doc_id""".stripMargin)),
+
+    GateQuery("facet_lang",
+      (s, d) => {
+        val (idx, exec) = gate(s, d)
+        val m = exec.matches(parse("spark"), Nil).select("docId")
+        idx.corpus.join(m, "docId")
+          .groupBy(col("role").as("label")).agg(count(lit(1)).as("doc_count"))
+          .orderBy(col("doc_count").desc, col("label").asc)
+      },
+      sql("""SELECT doc.lang AS label, count(*) AS doc_count FROM documents doc
+            |WHERE doc.doc_id IN (SELECT doc_id FROM post WHERE term = 'spark')
+            |GROUP BY doc.lang ORDER BY doc_count DESC, label""".stripMargin)),
+
+    GateQuery("facet_value_ranges",
+      (s, d) => {
+        val bucket = when(col("value") >= 0 && col("value") < 50, "[0,50)")
+          .when(col("value") >= 50 && col("value") < 100, "[50,100)")
+          .when(col("value") >= 100 && col("value") < 200, "[100,200)")
+          .otherwise("other")
+        events(s, d).filter(col("event_type") === "purchase")
+          .groupBy(bucket.as("bucket")).agg(count(lit(1)).as("doc_count"))
+          .orderBy("bucket")
+      },
+      Some("""SELECT CASE
+             |  WHEN value >= 0 AND value < 50 THEN '[0,50)'
+             |  WHEN value >= 50 AND value < 100 THEN '[50,100)'
+             |  WHEN value >= 100 AND value < 200 THEN '[100,200)'
+             |  ELSE 'other' END AS bucket, count(*) AS doc_count
+             |FROM events WHERE event_type = 'purchase'
+             |GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    GateQuery("topk_sort_ts",
+      (s, d) => events(s, d)
+        .orderBy(col("ts").desc, col("event_id").asc)
+        .limit(20)
+        .select("event_id", "user_id", "event_type"),
+      Some("""SELECT event_id, user_id, event_type FROM events
+             |ORDER BY ts DESC, event_id LIMIT 20""".stripMargin)),
+
+    GateQuery("match_all_facet",
+      (s, d) => {
+        val (idx, exec) = gate(s, d)
+        val m = exec.matches(MatchAll, Nil).select("docId")
+        idx.corpus.join(m, "docId")
+          .groupBy(col("role").as("lang")).agg(count(lit(1)).as("n"))
+          .orderBy("lang")
+      },
+      Some("SELECT lang, count(*) AS n FROM documents GROUP BY lang ORDER BY lang")),
+
+    GateQuery("semi_join_users",
+      (s, d) => {
+        val ev = events(s, d)
+        ev.filter(col("event_type") === "error").select("user_id").distinct()
+          .join(ev.filter(col("event_type") === "purchase").select("user_id").distinct(),
+            Seq("user_id"), "left_semi")
+          .orderBy("user_id")
+      },
+      Some("""SELECT DISTINCT user_id FROM events e1 WHERE e1.event_type = 'error'
+             |AND user_id IN (SELECT user_id FROM events WHERE event_type = 'purchase')
+             |ORDER BY user_id""".stripMargin)),
+
+    GateQuery("window_first_event",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+        events(s, d).withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_id").as("first_event"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, event_id AS first_event FROM (
+             |  SELECT user_id, event_id,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+             |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin))
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.fn).toMap
+
+  def oracleSql: Map[String, String] =
+    all.flatMap(q => q.sql.map(q.name -> _)).toMap
+}

@@ -55,4 +55,29 @@ object Bm25 {
     (weightF.cast("double") - weightF.cast("double") / (lit(1d) + freqF.cast("double") / normD))
       .cast("float")
   }
+
+  // ---- exact (all-double) mode: bit-reproducible in ANSI SQL, used for
+  // the DuckDB-verified correctness gate. Same BM25 semantics and
+  // SmallFloat length quantization; no float rounding anywhere.
+
+  /** Per-norm-byte k1*(1-b+b*dlq/avgdl) in pure double arithmetic,
+    * matching the SQL expression 1.2*(0.25 + 0.75*dlq/avgdl). */
+  def normCacheExact(avgdl: Double): Array[Double] = {
+    val out = new Array[Double](256)
+    var j = 0
+    while (j < 256) {
+      val dl = SmallFloat.byte4ToInt(j.toByte).toDouble
+      out(j) = 1.2 * (0.25 + 0.75 * dl / avgdl)
+      j += 1
+    }
+    out
+  }
+
+  /** Exact score column: weight * tf / (tf + cache[norm]) in double,
+    * left-associative like the SQL `w * tf / (tf + cache)`. */
+  def scoreColExact(tf: Column, norm: Column, weightD: Column, cache: Array[Double]): Column = {
+    val cacheLit = typedlit(cache)
+    val normD = element_at(cacheLit, norm.cast("int").bitwiseAND(lit(255)) + lit(1))
+    weightD * tf.cast("double") / (tf.cast("double") + normD)
+  }
 }

@@ -24,12 +24,16 @@ import org.apache.spark.sql.functions._
   *
   * One shuffle for the aggregation; the top-k needs no further exchange.
   */
-final class QueryExec(val index: Index) {
+final class QueryExec(val index: Index, val exact: Boolean = false) {
   private val spark = index.corpus.sparkSession
   import spark.implicits._
 
-  private val avgdlF: Float = (index.stats.sumTotalTermFreq / index.stats.docCount.toDouble).toFloat
+  private val avgdlD: Double = index.stats.sumTotalTermFreq / index.stats.docCount.toDouble
+  private val avgdlF: Float = avgdlD.toFloat
   private val cache: Array[Float] = Bm25.normCache(avgdlF)
+  private val cacheD: Array[Double] = Bm25.normCacheExact(avgdlD)
+  private val scoreType = if (exact) "double" else "float"
+  private def one = if (exact) lit(1.0d) else lit(1.0f)
 
   // occur markers for the single-pass aggregation
   private val OccShould = -1
@@ -77,19 +81,21 @@ final class QueryExec(val index: Index) {
       .select("term", "df").as[(String, Long)].collect().toMap
     val rows = termGroups.flatMap { case (t, g) =>
       dfMap.get(t).map { df =>
-        (t, g, Bm25.idf(index.stats.docCount, df).toFloat)
+        val idfD = Bm25.idf(index.stats.docCount, df)
+        (t, g, idfD.toFloat, idfD)
       }
     }
-    spark.createDataFrame(rows).toDF("term", "groupId", "weightF")
+    spark.createDataFrame(rows).toDF("term", "groupId", "weightF", "weightD")
   }
 
   /** Evaluate to a frame of (docId, score: float) — matching docs only. */
   def matches(q: Query, filters: Seq[AttrPredicate] = Nil): DataFrame = q match {
     case MatchNone =>
-      spark.emptyDataset[(Long, Float)].toDF("docId", "score")
+      if (exact) spark.emptyDataset[(Long, Double)].toDF("docId", "score")
+      else spark.emptyDataset[(Long, Float)].toDF("docId", "score")
     case MatchAll =>
       val base = attrCondition(filters).map(index.corpus.filter).getOrElse(index.corpus)
-      base.select(col("docId"), lit(1.0f).as("score"))
+      base.select(col("docId"), one.as("score"))
     case TermQuery(t) =>
       matches(BoolQuery(should = Seq(TermQuery(t))), filters)
     case bq: BoolQuery =>
@@ -123,7 +129,9 @@ final class QueryExec(val index: Index) {
 
     val scored = scan
       .join(broadcast(weights), "term")
-      .withColumn("tscore", Bm25.scoreCol(col("tf"), col("norm"), col("weightF"), cache))
+      .withColumn("tscore",
+        if (exact) Bm25.scoreColExact(col("tf"), col("norm"), col("weightD"), cacheD)
+        else Bm25.scoreCol(col("tf"), col("norm"), col("weightF"), cache))
 
     val agg = scored
       .groupBy(col("docId"))
@@ -135,7 +143,7 @@ final class QueryExec(val index: Index) {
 
     agg
       .filter(col("mustHit") === nMust && col("notHit").isNull && col("anyHit") === 1)
-      .select(col("docId"), col("scoreSum").cast("float").as("score"))
+      .select(col("docId"), col("scoreSum").cast(scoreType).as("score"))
   }
 
   /** General recursive path for arbitrarily nested boolean trees. */
@@ -147,7 +155,7 @@ final class QueryExec(val index: Index) {
     val scoringUnion = (mustFrames ++ shouldFrames) match {
       case Nil => matches(MatchAll, filters)
       case fs  => fs.reduce(_ unionAll _)
-        .groupBy("docId").agg(sum(col("score")).cast("float").as("score"))
+        .groupBy("docId").agg(sum(col("score")).cast(scoreType).as("score"))
     }
     // MUST semantics: doc must appear in every must frame
     val withMust = mustFrames.foldLeft(scoringUnion) { (acc, m) =>
