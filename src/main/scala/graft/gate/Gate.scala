@@ -269,8 +269,8 @@ object Gate {
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    all.map(q => q.name -> q.fn).toMap
+    (all ++ PipelineGate.all).map(q => q.name -> q.fn).toMap
 
   def oracleSql: Map[String, String] =
-    all.flatMap(q => q.sql.map(q.name -> _)).toMap
+    (all ++ PipelineGate.all).flatMap(q => q.sql.map(q.name -> _)).toMap
 }

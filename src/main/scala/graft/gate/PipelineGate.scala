@@ -1,0 +1,140 @@
+package graft.gate
+
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators exposed through the correctness gate.
+  * SQL-expressible ops carry a DuckDB oracle; LSH/minhash/simhash carry
+  * rows-only checks here and are verified against exact baselines in
+  * PipelineSpec. */
+object PipelineGate {
+  import Gate.GateQuery
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/documents.parquet")
+  private def embeddings(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/embeddings.parquet")
+
+  /** Shared shingle CTE for dedup oracles (5-gram over simple tokens). */
+  private val shingleCte =
+    """WITH arr AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS w
+      |  FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(generate_series(1, len(w) - 4),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS g
+      |  FROM arr WHERE len(w) >= 5
+      |), sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)""".stripMargin
+
+  val all: Seq[GateQuery] = Seq(
+
+    GateQuery("dedup_exact",
+      (s, d) => Dedup.exact(docs(s, d)).orderBy("keep_id"),
+      Some("""SELECT min(doc_id) AS keep_id, count(*) AS dup_count FROM documents
+             |GROUP BY text ORDER BY keep_id""".stripMargin)),
+
+    GateQuery("dedup_prefix_blocks",
+      (s, d) => docs(s, d)
+        .groupBy(substring(col("text"), 1, 80).as("p"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("grp_size"))
+        .filter(col("grp_size") > 1)
+        .select("keep_id", "grp_size")
+        .orderBy("keep_id"),
+      Some("""SELECT min(doc_id) AS keep_id, count(*) AS grp_size FROM documents
+             |GROUP BY substr(text, 1, 80) HAVING count(*) > 1 ORDER BY keep_id""".stripMargin)),
+
+    GateQuery("neardup_jaccard",
+      (s, d) => Dedup.ngramJaccardPairs(docs(s, d), 5, 0.8).orderBy("ida", "idb"),
+      Some(shingleCte +
+        """, counts AS (
+          |  SELECT a.doc_id da, b.doc_id db, count(*) AS common
+          |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2
+          |)
+          |SELECT da AS ida, db AS idb,
+          |  round(common * 1.0 / (sa.sz + sb.sz - common), 4) AS jaccard
+          |FROM counts JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+          |WHERE common * 1.0 / (sa.sz + sb.sz - common) >= 0.8
+          |ORDER BY ida, idb""".stripMargin)),
+
+    // rows-only: LSH recall verified against the exact baseline in PipelineSpec
+    GateQuery("neardup_minhash_lsh",
+      (s, d) => Dedup.minhashLshPairs(docs(s, d), 0.8).orderBy("ida", "idb"),
+      None),
+
+    GateQuery("neardup_simhash",
+      (s, d) => Dedup.simhashPairs(docs(s, d), 3).orderBy("ida", "idb"),
+      None),
+
+    GateQuery("doc_quality",
+      (s, d) => TextAnalysis.quality(docs(s, d)).orderBy("doc_id"),
+      Some("""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+             |  CAST(len(w) AS BIGINT) AS n_tokens,
+             |  CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq,
+             |  round(len(list_distinct(w)) * 1.0 / len(w), 4) AS ttr
+             |FROM (SELECT doc_id, text,
+             |  list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS w
+             |  FROM documents) ORDER BY doc_id""".stripMargin)),
+
+    GateQuery("lang_id",
+      (s, d) => TextAnalysis.langId(docs(s, d), 0.05).orderBy("doc_id"),
+      Some("""SELECT doc_id, stop_ratio,
+             |  CASE WHEN stop_ratio >= 0.05 THEN 'en' ELSE 'unknown' END AS lang_pred
+             |FROM (
+             |  SELECT doc_id,
+             |    round(len(list_filter(w, t -> t IN ('the','a','of','and','to','in','is','it','that','for'))) * 1.0 / len(w), 4) AS stop_ratio
+             |  FROM (SELECT doc_id,
+             |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS w
+             |    FROM documents)) ORDER BY doc_id""".stripMargin)),
+
+    GateQuery("token_counts",
+      (s, d) => TextAnalysis.tokenCounts(docs(s, d))
+        .select("doc_id", "ws_tokens").orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS BIGINT) AS ws_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    GateQuery("fingerprint",
+      (s, d) => TextAnalysis.fingerprint(docs(s, d)).orderBy("doc_id"),
+      None),
+
+    GateQuery("ann_cosine",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val q = emb.filter(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0).toArray
+        Similarity.bruteForceTopK(emb, q, 10, excludeId = Some(0L))
+      },
+      Some("""WITH q AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 0)
+             |SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], q.e), 4) AS cos
+             |FROM embeddings, q WHERE vec_id <> 0
+             |ORDER BY list_cosine_similarity(embedding::DOUBLE[], q.e) DESC, vec_id
+             |LIMIT 10""".stripMargin)),
+
+    // rows-only: recall vs brute force checked in PipelineSpec
+    GateQuery("ann_lsh",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val q = emb.filter(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0).toArray
+        Similarity.lshTopK(emb, q, 10, excludeId = Some(0L))
+      },
+      None),
+
+    GateQuery("multimodal_decode",
+      (s, d) => Multimodal.decode(Multimodal.asMedia(docs(s, d)))
+        .select("doc_id", "n_bytes", "head_byte", "width", "height")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |  ascii(substr(text, 1, 1)) AS head_byte,
+             |  CAST(octet_length(encode(text)) % 640 AS INT) AS width,
+             |  CAST((octet_length(encode(text)) // 7) % 480 AS INT) AS height
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    GateQuery("multimodal_frames",
+      (s, d) => Multimodal.sampleFrames(Multimodal.asMedia(docs(s, d)))
+        .orderBy("doc_id", "frame_idx"),
+      None)
+  )
+}

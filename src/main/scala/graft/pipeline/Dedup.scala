@@ -1,0 +1,216 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Large-scale training-data deduplication operators over a document
+  * table (id, text). All are expressed as declarative DataFrame plans —
+  * shuffles only on the blocking keys (shingle / band bucket), never a
+  * full cross join — so they scale to cluster-sized corpora.
+  */
+object Dedup {
+
+  /** Deterministic 64-bit FNV-1a string hash (stable across JVMs/runs,
+    * unlike String.hashCode on other types or Random-seeded schemes). */
+  def fnv1a64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i).toLong
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+  val fnv1a64Udf = udf(fnv1a64 _)
+
+  /** Simple tokenization used by the dedup family (lower, non-alnum split)
+    * — matches Analyzers.Simple so SQL oracles can reproduce it. */
+  private def tokensCol(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+
+  /** Exact dedup: one row per distinct text with the kept (min) id and the
+    * duplicate count. Hash-groupBy — partial aggregation makes this one
+    * shuffle of (groupKey, partialMin/Count). */
+  def exact(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    df.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+      .select("keep_id", "dup_count")
+
+  /** Word n-gram shingles: (id, shingle) distinct. */
+  def shingles(df: DataFrame, n: Int, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    val toks = tokensCol(col(textCol))
+    df.select(col(idCol).as("id"), toks.as("w"))
+      .where(size(col("w")) >= n)
+      .select(col("id"), explode(
+        transform(sequence(lit(0), size(col("w")) - n),
+          i => concat_ws(" ", slice(col("w"), i + lit(1), lit(n))))).as("shingle"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs: inverted-index self-join on the
+    * shingle (the blocking key), count common shingles per pair, then
+    * jaccard = common / (|A| + |B| - common). Only pairs sharing at least
+    * one shingle are ever materialized. */
+  def ngramJaccardPairs(df: DataFrame, n: Int, threshold: Double,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = shingles(df, n, idCol, textCol)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val a = sh.toDF("ida", "shingle")
+    val b = sh.toDF("idb", "shingle")
+    val common = a.join(b, "shingle")
+      .where(col("ida") < col("idb"))
+      .groupBy("ida", "idb").agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.toDF("ida", "sza"), "ida")
+      .join(sizes.toDF("idb", "szb"), "idb")
+      .withColumn("jaccard",
+        col("common") * lit(1.0) / (col("sza") + col("szb") - col("common")))
+      .where(col("jaccard") >= threshold)
+      .select(col("ida"), col("idb"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** MinHash signature aggregator: per doc, elementwise min over the
+    * shingle hashes under `numHashes` independent affine hash functions
+    * h_i(x) = (a_i*x + b_i) mod p  (p = 2^61 - 1), seeded deterministically. */
+  final class MinHashAgg(numHashes: Int, seed: Long)
+      extends Aggregator[Long, Array[Long], Seq[Long]] {
+    private val P = (1L << 61) - 1
+    @transient private lazy val coeffs: Array[(Long, Long)] = {
+      val r = new java.util.Random(seed)
+      Array.fill(numHashes)(
+        ((r.nextLong() & Long.MaxValue) % (P - 1) + 1,
+          (r.nextLong() & Long.MaxValue) % P))
+    }
+    private def h(i: Int, x: Long): Long = {
+      val (a, b) = coeffs(i)
+      // multiply mod 2^61-1 via Math.multiplyHigh-free 128-bit-ish split
+      val xm = java.lang.Math.floorMod(x, P)
+      val hi = java.lang.Math.multiplyHigh(a, xm)
+      val lo = a * xm
+      // fold 128-bit product mod 2^61-1: (lo & P) + (lo >>> 61 | hi << 3)
+      var res = (lo & P) + ((lo >>> 61) | (hi << 3))
+      while (res >= P) res -= P
+      res = res + b
+      if (res >= P) res -= P
+      res
+    }
+    def zero: Array[Long] = Array.fill(numHashes)(Long.MaxValue)
+    def reduce(buf: Array[Long], x: Long): Array[Long] = {
+      var i = 0
+      while (i < numHashes) { val v = h(i, x); if (v < buf(i)) buf(i) = v; i += 1 }
+      buf
+    }
+    def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < numHashes) { if (y(i) < x(i)) x(i) = y(i); i += 1 }
+      x
+    }
+    def finish(buf: Array[Long]): Seq[Long] = buf.toSeq
+    def bufferEncoder = org.apache.spark.sql.Encoders.javaSerialization[Array[Long]]
+    def outputEncoder = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** MinHash signatures: (id, sig: array<long>). */
+  def minhashSignatures(df: DataFrame, numHashes: Int = 64, seed: Long = 42L,
+                        n: Int = 5, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val sh = shingles(df, n, idCol, textCol)
+      .withColumn("sh", fnv1a64Udf(col("shingle")))
+    val agg = udaf(new MinHashAgg(numHashes, seed))
+    sh.groupBy("id").agg(agg(col("sh")).as("sig"))
+  }
+
+  /** MinHash + LSH near-dup pairs: band the signatures (bands × rowsPerBand
+    * = numHashes), bucket-join on (band, bandHash) to get candidates, then
+    * verify candidates with exact n-gram Jaccard. Expected to find pairs
+    * with jaccard ≥ threshold with high recall at planetary scale without
+    * any quadratic step. */
+  def minhashLshPairs(df: DataFrame, threshold: Double, numHashes: Int = 64,
+                      bands: Int = 16, seed: Long = 42L, n: Int = 5,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(numHashes % bands == 0)
+    val rows = numHashes / bands
+    val sig = minhashSignatures(df, numHashes, seed, n, idCol, textCol)
+    val banded = sig.select(col("id"), posexplode(
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(col("sig"), b * lit(rows) + lit(1), lit(rows)), b))).as(Seq("band", "bh")))
+    val l = banded.toDF("ida", "band", "bh")
+    val r = banded.toDF("idb", "band", "bh")
+    val candidates = l.join(r, Seq("band", "bh"))
+      .where(col("ida") < col("idb"))
+      .select("ida", "idb").distinct()
+
+    // verify candidates exactly: join back to shingle sets
+    val sh = shingles(df, n, idCol, textCol)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val common = candidates
+      .join(sh.toDF("ida", "shingle"), "ida")
+      .join(sh.toDF("idb", "shingle2"), "idb")
+      .where(col("shingle") === col("shingle2"))
+      .groupBy("ida", "idb").agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.toDF("ida", "sza"), "ida")
+      .join(sizes.toDF("idb", "szb"), "idb")
+      .withColumn("jaccard",
+        col("common") * lit(1.0) / (col("sza") + col("szb") - col("common")))
+      .where(col("jaccard") >= threshold)
+      .select(col("ida"), col("idb"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** SimHash aggregator: 64-bit fingerprint from per-token 64-bit hashes —
+    * bit b of the fingerprint is 1 when the sum of ±1 votes over tokens'
+    * bit b is positive. */
+  final class SimHashAgg extends Aggregator[Long, Array[Int], Long] {
+    def zero: Array[Int] = new Array[Int](64)
+    def reduce(buf: Array[Int], x: Long): Array[Int] = {
+      var b = 0
+      while (b < 64) { buf(b) += (if (((x >>> b) & 1L) == 1L) 1 else -1); b += 1 }
+      buf
+    }
+    def merge(x: Array[Int], y: Array[Int]): Array[Int] = {
+      var b = 0
+      while (b < 64) { x(b) += y(b); b += 1 }
+      x
+    }
+    def finish(buf: Array[Int]): Long = {
+      var f = 0L
+      var b = 0
+      while (b < 64) { if (buf(b) > 0) f |= (1L << b); b += 1 }
+      f
+    }
+    def bufferEncoder = org.apache.spark.sql.Encoders.javaSerialization[Array[Int]]
+    def outputEncoder = org.apache.spark.sql.Encoders.scalaLong
+  }
+
+  /** SimHash fingerprints: (id, simhash). */
+  def simhash(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(tokensCol(col(textCol))).as("tok"))
+      .withColumn("th", fnv1a64Udf(col("tok")))
+    val agg = udaf(new SimHashAgg)
+    toks.groupBy("id").agg(agg(col("th")).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxDist: block on the
+    * 4 16-bit chunks (any pair within distance 3 shares at least one
+    * chunk exactly — pigeonhole), verify with popcount. */
+  def simhashPairs(df: DataFrame, maxDist: Int = 3,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val fp = simhash(df, idCol, textCol)
+    val chunkArr = array((0 until 4).map(c =>
+      shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xffffL))): _*)
+    val chunked = fp.select(col("id"), col("simhash"),
+      posexplode(chunkArr).as(Seq("chunk", "cv")))
+    val l = chunked.toDF("ida", "ha", "chunk", "cv")
+    val r = chunked.toDF("idb", "hb", "chunk", "cv")
+    l.join(r, Seq("chunk", "cv"))
+      .where(col("ida") < col("idb"))
+      .select("ida", "idb", "ha", "hb").distinct()
+      .withColumn("dist", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .where(col("dist") <= maxDist)
+      .select("ida", "idb", "dist")
+  }
+}

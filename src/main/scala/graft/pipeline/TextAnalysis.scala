@@ -1,0 +1,72 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: token counting,
+  * quality scoring, language-ID heuristics, document fingerprinting.
+  * All pure column expressions (whole-stage codegen, no UDF in the hot
+  * path except the fingerprint hash). */
+object TextAnalysis {
+
+  private def toks(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+
+  /** English function words used by the stopword-ratio heuristic. */
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+
+  /** Per-doc quality metrics: chars, tokens, distinct tokens, type-token
+    * ratio, mean token length, alpha ratio. */
+  def quality(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val t = toks(col(textCol))
+    df.select(
+        col(idCol),
+        length(col(textCol)).as("n_chars"),
+        t.as("w"))
+      .select(
+        col(idCol),
+        col("n_chars").cast("long").as("n_chars"),
+        size(col("w")).cast("long").as("n_tokens"),
+        size(array_distinct(col("w"))).cast("long").as("n_uniq"))
+      .withColumn("ttr", round(col("n_uniq") * lit(1.0) / col("n_tokens"), 4))
+  }
+
+  /** Stopword ratio per doc (language-ID style heuristic feature). */
+  def stopwordRatio(df: DataFrame, stopwords: Seq[String] = EnglishStopwords,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val t = toks(col(textCol))
+    val sw = typedlit(stopwords)
+    df.select(col(idCol), t.as("w"))
+      .select(col(idCol),
+        round(size(filter(col("w"), x => array_contains(sw, x))) * lit(1.0) / size(col("w")), 4)
+          .as("stop_ratio"))
+  }
+
+  /** Heuristic language ID from character/stopword signals: docs whose
+    * stopword ratio clears `enThreshold` are tagged en, else unknown.
+    * (A real n-gram model plugs in here; the pipeline shape — narrow map,
+    * no shuffle — is what matters at scale.) */
+  def langId(df: DataFrame, enThreshold: Double = 0.05,
+             idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    stopwordRatio(df, EnglishStopwords, idCol, textCol)
+      .withColumn("lang_pred",
+        when(col("stop_ratio") >= enThreshold, "en").otherwise("unknown"))
+
+  /** Whitespace + BPE-ish token counting: raw whitespace tokens and
+    * subword-ish segments (runs of letters / digits / other). */
+  def tokenCounts(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    df.select(
+      col(idCol),
+      size(filter(split(col(textCol), "\\s+"), t => t =!= "")).cast("long").as("ws_tokens"),
+      size(filter(split(col(textCol), "(?<=[a-z])(?=[0-9])|(?<=[0-9])(?=[a-z])|[^a-z0-9]+"),
+        t => t =!= "")).cast("long").as("subword_tokens"))
+
+  /** 64-bit document fingerprint: FNV-1a over the normalized token stream
+    * (rolling content hash — equal normalized content ⇒ equal print). */
+  def fingerprint(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val fp = udf((ws: Seq[String]) => Dedup.fnv1a64(ws.mkString(" ")))
+    df.select(col(idCol), toks(col(textCol)).as("w"))
+      .select(col(idCol), fp(col("w")).as("fingerprint"))
+  }
+}

@@ -1,0 +1,74 @@
+package graft.pipeline
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Verifies the approximate (LSH) pipeline operators against their exact
+  * baselines on the driver's sf0.001 tables. */
+class PipelineSpec extends SparkSuite {
+
+  private lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+  private lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("minhash LSH pairs ⊇ high-jaccard pairs and ⊆ threshold-jaccard pairs") {
+    val exact = Dedup.ngramJaccardPairs(docs, 5, 0.8)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, 0.8)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // verification step makes precision exact; recall should be ≥ 90% at j≥0.8
+    assert(lsh.subsetOf(exact))
+    assert(exact.nonEmpty)
+    assert(lsh.size >= (exact.size * 0.9).toInt, s"recall ${lsh.size}/${exact.size}")
+  }
+
+  test("simhash: near-identical docs collide, fingerprints deterministic") {
+    val fp1 = Dedup.simhash(docs).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val fp2 = Dedup.simhash(docs).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(fp1 === fp2)
+    val pairs = Dedup.simhashPairs(docs, 3).collect()
+    assert(pairs.forall(r => java.lang.Long.bitCount(
+      fp1(r.getLong(0)) ^ fp1(r.getLong(1))) <= 3))
+  }
+
+  test("ANN: LSH top-k ⊆ reasonable and overlaps brute-force top-k") {
+    val q = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val brute = Similarity.bruteForceTopK(emb, q, 10, excludeId = Some(0L))
+      .collect().map(_.getLong(0)).toSet
+    val lsh = Similarity.lshTopK(emb, q, 10, excludeId = Some(0L))
+      .collect().map(_.getLong(0)).toSet
+    assert(lsh.nonEmpty)
+    // sign-random-projection at 16 planes: expect meaningful overlap
+    assert((brute intersect lsh).size >= 3, s"overlap ${(brute intersect lsh).size}")
+  }
+
+  test("embedding near-dup pairs are symmetric-free and above threshold") {
+    val pairs = Similarity.nearDupPairs(emb, 0.30).collect()
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.30)
+    }
+  }
+
+  test("multimodal: decode plumbing roundtrips byte counts") {
+    val media = Multimodal.asMedia(docs)
+    val dec = Multimodal.decode(media).collect()
+    val lens = docs.select(col("doc_id"), length(col("text")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    dec.foreach { r =>
+      assert(r.getLong(1) === lens(r.getLong(0))) // ASCII text: bytes == chars
+      assert(r.getInt(3) === (r.getLong(1) % 640).toInt)
+    }
+    val frames = Multimodal.sampleFrames(media)
+    assert(frames.count() > 0)
+  }
+
+  test("fingerprint: equal normalized content gives equal prints") {
+    import spark.implicits._
+    val df = Seq((1L, "Hello,  World!"), (2L, "hello world"), (3L, "other text"))
+      .toDF("doc_id", "text")
+    val fps = TextAnalysis.fingerprint(df).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(fps(1L) === fps(2L))
+    assert(fps(1L) !== fps(3L))
+  }
+}
