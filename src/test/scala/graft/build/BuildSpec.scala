@@ -1,0 +1,99 @@
+package graft.build
+
+import graft.SparkSuite
+import graft.analysis.Analyzers
+import graft.corpus.{DocIds, TranscriptGen}
+import org.apache.spark.sql.functions._
+
+/** Salted-build equivalence and checkpoint/resume (FIXTURES.md §4-5). */
+class BuildSpec extends SparkSuite {
+
+  private lazy val corpus = DocIds.forTurns(TranscriptGen.tiny(spark)).cache()
+  private lazy val index = IndexBuilder.build(corpus, Analyzers.Icat)
+
+  test("salted term-major build ≡ unsalted build (any salt bucket count)") {
+    val unsalted = SaltedPostings.build(index.postings, index.termStats,
+      hotDfThreshold = Long.MaxValue, saltBuckets = 1)
+    val salted = SaltedPostings.build(index.postings, index.termStats,
+      hotDfThreshold = 2, saltBuckets = 8) // nearly every term treated hot
+    val a = unsalted.orderBy("term").collect()
+    val b = salted.orderBy("term").collect()
+    assert(a.length === b.length)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.getString(0) === y.getString(0))
+      assert(x.getLong(1) === y.getLong(1))
+      assert(x.getSeq[Long](2) === y.getSeq[Long](2), s"deltas differ for ${x.getString(0)}")
+      assert(x.getSeq[Int](3) === y.getSeq[Int](3))
+    }
+  }
+
+  test("term-major lists decode back to the flat postings") {
+    val lists = SaltedPostings.build(index.postings, index.termStats,
+      hotDfThreshold = 3, saltBuckets = 4)
+    val decoded = SaltedPostings.decode(lists)
+      .orderBy("term", "docId").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    val flat = index.postings.select("term", "docId", "tf")
+      .orderBy("term", "docId").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(decoded === flat)
+  }
+
+  test("df in term-major lists matches termStats") {
+    val lists = SaltedPostings.build(index.postings, index.termStats, 5, 4)
+    val got = lists.select("term", "df").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = index.termStats.select("term", "df").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === want)
+  }
+
+  test("checkpointed build resumes without recomputing finished groups") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val nGroups = 4
+
+    // full build
+    val r1 = Checkpoint.buildPostings(corpus, Analyzers.Icat, dir, nGroups)
+    assert(r1.groupsBuilt === (0 until nGroups))
+    val full = Checkpoint.loadPostings(spark, dir)
+      .orderBy("term", "docId").collect()
+
+    // simulate a kill: wipe two groups' outputs + manifests
+    import java.nio.file.{Files, Paths}
+    Seq(1, 3).foreach { g =>
+      Files.delete(Paths.get(s"$dir/manifests/$g.json"))
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/postings/group=$g"), true)
+    }
+    // stamp surviving manifests to detect recompute
+    val stamp0 = Files.getLastModifiedTime(Paths.get(s"$dir/manifests/0.json"))
+
+    val r2 = Checkpoint.buildPostings(corpus, Analyzers.Icat, dir, nGroups)
+    assert(r2.groupsBuilt.toSet === Set(1, 3))
+    assert(r2.groupsSkipped.toSet === Set(0, 2))
+    assert(Files.getLastModifiedTime(Paths.get(s"$dir/manifests/0.json")) === stamp0)
+
+    val resumed = Checkpoint.loadPostings(spark, dir)
+      .orderBy("term", "docId").collect()
+    assert(resumed.length === full.length)
+    assert(resumed.map(_.toString).toSeq === full.map(_.toString).toSeq)
+
+    // lineage counters: Σ group tokens == global sumTotalTermFreq
+    val meta = Files.readString(Paths.get(s"$dir/meta.json"))
+    val sttf = "\"sumTotalTermFreq\":(\\d+)".r.findFirstMatchIn(meta).get.group(1).toLong
+    assert(r2.manifests.map(_.tokens).sum === sttf)
+    assert(r2.manifests.map(_.rows).sum === corpus.count())
+  }
+
+  test("checkpointed postings equal the one-shot builder's postings") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt2").toString
+    Checkpoint.buildPostings(corpus, Analyzers.Icat, dir, 3)
+    val a = Checkpoint.loadPostings(spark, dir)
+      .select("term", "docId", "tf", "norm")
+      .orderBy("term", "docId").collect().map(_.toString).toSeq
+    val b = index.postings
+      .select("term", "docId", "tf", "norm")
+      .orderBy("term", "docId").collect().map(_.toString).toSeq
+    assert(a === b)
+  }
+}
