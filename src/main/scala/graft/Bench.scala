@@ -1,24 +1,182 @@
 package graft
+
+import graft.analysis.Analyzers
+import graft.build.{IndexBuilder, Segments}
+import graft.corpus.{DocIds, TranscriptGen}
+import graft.model._
+import graft.score.{Bm25, QueryExec, Wand}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): prints ONE JSON line
+  * {"metric":…,"value":N,"unit":"sec","queries":{…},"sf":…} plus extra
+  * keys with the scaling evidence the north rule asks for:
+  *
+  *  - index-build throughput (turns/sec) for the SAME seed-42 transcript
+  *    corpus at local[8] and local[32] (JIT-warmed, input pre-materialized
+  *    so the timed region is exactly the index build: docId assignment →
+  *    postings/stats → sorted salted parquet save)
+  *  - a pure-CPU calibration probe at both thread counts: this VM's 32
+  *    vCPUs do not deliver 4× the work of 8 (turbo/host-sharing), so raw
+  *    efficiency is reported alongside efficiency relative to the
+  *    hardware ceiling the probe measures
+  *  - p50/p95 query latency over the frozen query set (flat BM25 path and
+  *    the WAND segment path)
+  *  - per-gate-query timings on the driver's sf tables (the `queries` map)
+  */
 object Bench {
+
+  private def session(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-$cores")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "127.0.0.1")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private def time[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Pure-CPU probe: how much faster is `cores` threads than 1 unit,
+    * measured with FNV hashing over a fixed work set. Returns seconds. */
+  private def cpuProbe(threads: Int, units: Int = 64): Double = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val work: Runnable = () => {
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < 40000000) { h = (h ^ i) * 0x100000001b3L; i += 1 }
+      if (h == 42L) println("") // defeat DCE
+    }
+    val (_, secs) = time {
+      val fs = (0 until units).map(_ => pool.submit(work))
+      fs.foreach(_.get())
+    }
+    pool.shutdown()
+    secs
+  }
+
+  /** Timed full index build (docIds → postings+stats → sorted parquet) at
+    * a given parallelism, JIT-warmed, over a pre-materialized corpus. */
+  private def buildAt(cores: Int, numConvs: Long, outDir: String): (Long, Double) = {
+    val spark = session(cores)
+    try {
+      // warmup: small end-to-end build (JIT + codegen + parquet writers)
+      val warm = DocIds.forTurns(TranscriptGen.generate(spark, 200))
+      IndexBuilder.save(IndexBuilder.build(warm, Analyzers.Icat),
+        s"$outDir-warm", hotDfThreshold = 10000L)
+
+      // ingest (untimed): materialize the synthetic corpus like a source table
+      val turns = TranscriptGen.generate(spark, numConvs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nTurns = turns.count()
+
+      val (_, secs) = time {
+        val corpus = DocIds.forTurns(turns)
+        val idx = IndexBuilder.build(corpus, Analyzers.Icat)
+        IndexBuilder.save(idx, outDir, hotDfThreshold = 10000L)
+      }
+      (nTurns, secs)
+    } finally spark.stop()
+  }
+
+  private val querySet: Seq[(String, String)] = Seq(
+    "q_term_rare" -> "needle_3",
+    "q_term_hot" -> "w0000",
+    "q_or2" -> "needle_3 hydrogen",
+    "q_or_hot" -> "w0000 w0001",
+    "q_and" -> "+needle_3 +rare_001",
+    "q_not" -> "+needle_1 -ambiguous",
+    "q_ambig" -> "ambiguous",
+    "q_mix" -> "rare_002 w0003 needle_5")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val numConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "8000").toLong
+    val loCores = 8
+    val hiCores = 32
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bench").toString
+
+    // ---- hardware calibration (what can this box's cores even deliver) ----
+    cpuProbe(hiCores, 8) // warm the JIT for the probe itself
+    val probeLo = cpuProbe(loCores)
+    val probeHi = cpuProbe(hiCores)
+    val hwCeiling = (probeLo / probeHi) / (hiCores.toDouble / loCores)
+
+    // ---- scaling evidence: same build at lo and hi cores ----
+    val (turnsLo, secsLo) = buildAt(loCores, numConvs, s"$tmp/idx$loCores")
+    val (turnsHi, secsHi) = buildAt(hiCores, numConvs, s"$tmp/idx$hiCores")
+    val thrLo = turnsLo / secsLo
+    val thrHi = turnsHi / secsHi
+    val rawEff = (thrHi / thrLo) / (hiCores.toDouble / loCores)
+    val calEff = if (hwCeiling > 0) rawEff / hwCeiling else rawEff
+
+    // ---- query latency on the built index ----
+    val spark = session(cpus)
+    val engine = new graft.api.SearchEngine(IndexBuilder.load(spark, s"$tmp/idx$hiCores"))
+    val exec = new QueryExec(engine.index)
+    engine.index.postings.persist().count()
+    val segSize = 1 << 14
+    val segments = Segments.pack(engine.index.postings, engine.index.stats, segSize)
+      .persist()
+    segments.count()
+
+    def runFlat(text: String): Long =
+      exec.topK(QueryText.parse(text, s => Analyzers.Icat(s).terms), Nil, 10).count()
+    def runWand(text: String): Long = {
+      val terms = text.split(" ").filterNot(_.startsWith("-")).map(_.stripPrefix("+"))
+        .flatMap(Analyzers.Icat(_).terms).toSeq
+      val dfm = engine.index.termStats.filter(col("term").isin(terms: _*))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val idf = terms.flatMap(t => dfm.get(t).map(d =>
+        t -> Bm25.idf(engine.index.stats.docCount, d))).toMap
+      Wand.topK(segments, engine.index.stats, idf, 10, segSize).count()
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val latencies = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    querySet.foreach { case (name, text) =>
+      runFlat(text) // warm
+      latencies(name) = time(runFlat(text))._2
+    }
+    querySet.filterNot(_._2.contains("+")).foreach { case (name, text) =>
+      runWand(text)
+      latencies(s"${name}_wand") = time(runWand(text))._2
+    }
+    val sortedLat = latencies.values.toSeq.sorted
+    def pct(p: Double): Double =
+      sortedLat((p * (sortedLat.size - 1)).round.toInt)
+
+    // ---- gate queries on the driver sf tables ----
+    val gateTimes = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val t = try time(fn(spark, sfDir).count())._2 catch { case _: Throwable => -1.0 }
+      gateTimes(name) = t
+    }
+
+    val allTimes = gateTimes ++ latencies
+    val total = secsLo + secsHi + allTimes.values.filter(_ > 0).sum
+    def jmap(m: collection.Map[String, Double]): String =
+      m.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }.mkString("{", ",", "}")
+
+    val json =
+      s"""{"metric":"index-build + query suite (build@$loCores+build@$hiCores + queries)","value":${"%.3f".format(total)},"unit":"sec",""" +
+        s""""queries":${jmap(allTimes)},"sf":"$sfDir",""" +
+        s""""scaling":{"turns":$turnsLo,"cores_lo":$loCores,"cores_hi":$hiCores,""" +
+        s""""build_secs_lo":${"%.3f".format(secsLo)},"build_secs_hi":${"%.3f".format(secsHi)},""" +
+        s""""turns_per_sec_lo":${"%.1f".format(thrLo)},"turns_per_sec_hi":${"%.1f".format(thrHi)},""" +
+        s""""efficiency_raw":${"%.3f".format(rawEff)},""" +
+        s""""hw_ceiling_probe":${"%.3f".format(hwCeiling)},""" +
+        s""""efficiency_vs_hw_ceiling":${"%.3f".format(calEff)}},""" +
+        s""""latency":{"p50":${"%.3f".format(pct(0.5))},"p95":${"%.3f".format(pct(0.95))}}}"""
+    println(json)
     spark.stop()
   }
 }

@@ -39,22 +39,31 @@ object IndexBuilder {
   /** Build the inverted index tables from a corpus with docIds.
     *
     * Shuffle plan (scale notes):
-    *  - tokenize: narrow (flatMap-style projection, no shuffle)
-    *  - groupBy(term, docId): ONE shuffle; keys include docId so Zipf-hot
-    *    terms spread over all partitions — no skew here, and partial
-    *    (map-side) aggregation compacts duplicates before the exchange
-    *  - termStats groupBy(term): second shuffle over far fewer rows
-    *    (distinct (term,doc) pairs), again partial-aggregated; a hot term
-    *    arrives as at most numPartitions pre-summed rows
+    *  - postings are built with NO shuffle at all: every occurrence of a
+    *    term within a document sits in the same input row, so per-doc
+    *    (term → tf) counting happens inside the analyze projection and
+    *    explode(map) emits finished posting rows — a narrow pipeline that
+    *    scales embarrassingly (Lucene counts per-doc tf in memory the
+    *    same way while inverting a document)
+    *  - termStats groupBy(term): the ONE shuffle, over distinct
+    *    (term,doc) pairs, partial-aggregated map-side; a hot term arrives
+    *    at its reducer as at most numPartitions pre-summed rows — no skew
     * Salted repartitioning for hot terms applies to the term-major packed
     * layout (graft.build.SaltedPostings) where whole posting lists must be
-    * assembled on one task.
+    * assembled on one task, and to the sorted save layout below.
     */
   def build(corpusWithIds: DataFrame, analyzer: TextAnalyzer): Index = {
     val spark = corpusWithIds.sparkSession
     val analyzeUdf = udf((s: String) => {
       val a = analyzer(if (s == null) "" else s)
-      (a.terms, a.positions)
+      val counts = new java.util.LinkedHashMap[String, Int]()
+      var i = 0
+      while (i < a.terms.length) {
+        val t = a.terms(i)
+        counts.put(t, counts.getOrDefault(t, 0) + 1)
+        i += 1
+      }
+      (scala.jdk.CollectionConverters.MapHasAsScala(counts).asScala.toMap, a.positions)
     })
     val normUdf = udf((positions: Int) => SmallFloat.intToByte4(positions))
 
@@ -63,18 +72,20 @@ object IndexBuilder {
 
     val analyzed = corpusWithIds
       .select(Seq(col("docId"), analyzeUdf(col("text")).as("a")) ++ attrCols: _*)
-      .select(Seq(col("docId"), col("a._1").as("terms"), normUdf(col("a._2")).as("norm")) ++ attrCols: _*)
+      .select(Seq(col("docId"), col("a._1").as("tfs"), normUdf(col("a._2")).as("norm")) ++ attrCols: _*)
 
-    val tokens = analyzed.select(
-      Seq(col("docId"), col("norm"), explode(col("terms")).as("term")) ++ attrCols: _*)
-
-    val postings = tokens
-      .groupBy(Seq(col("term"), col("docId"), col("norm")) ++ attrCols: _*)
-      .agg(count(lit(1)).cast("int").as("tf"))
+    // persist: stats, termStats, save and every query reuse this table —
+    // without it the analyze DAG re-runs per downstream action
+    val postings = analyzed
+      .select(Seq(col("docId"), col("norm"), explode(col("tfs")).as(Seq("term", "tf")))
+        ++ attrCols: _*)
+      .withColumn("tf", col("tf").cast("int"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val termStats = postings
       .groupBy(col("term"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val stats = computeStats(postings)
     Index(corpusWithIds, postings, termStats, stats, analyzer.name)
