@@ -1,0 +1,73 @@
+package graft.build
+
+import graft.analysis.TextAnalyzer
+import graft.model.Turn
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Index mutation operators — the Spark-native equivalent of the
+  * reference's /modify surface (reference: Lucene.java:481-513 create/
+  * update/delete; delete-by-id 301-317; update = delete+add 327-330).
+  *
+  * Indexes here are immutable table bundles; every mutation returns a new
+  * Index whose tables are the old ones with anti-joined/unioned deltas —
+  * the reader-visible "commit" is the atomic swap of the bundle (the
+  * reference's IndexWriter.commit + SearcherManager refresh,
+  * Lucene.java:163-171). At cluster scale the same operations are MERGE
+  * INTO / row-level deletes on the storage layer; semantics identical.
+  */
+object Maintenance {
+
+  /** Delete documents by id across all index tables (reference:
+    * LongPoint exact-query delete, Lucene.java:301-317 — here an
+    * anti-join, with stats recomputed from the surviving postings). */
+  def deleteDocs(index: Index, docIds: Seq[Long]): Index = {
+    val spark = index.corpus.sparkSession
+    import spark.implicits._
+    val ids = docIds.toDF("docId")
+    val corpus = index.corpus.join(broadcast(ids), Seq("docId"), "left_anti")
+    val postings = index.postings.join(broadcast(ids), Seq("docId"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rebuild(index, corpus, postings)
+  }
+
+  /** Create (append) new turns: analyze and append their postings.
+    * New docIds continue after the current max (stable (conv_id,
+    * turn_idx) ordering within the appended batch). */
+  def addTurns(index: Index, turns: Dataset[Turn], analyzer: TextAnalyzer): Index = {
+    val base = index.corpus.agg(coalesce(max(col("docId")), lit(-1L))).collect()(0).getLong(0)
+    val newCorpus = graft.corpus.DocIds.forTurns(turns)
+      .withColumn("docId", col("docId") + lit(base + 1))
+    val delta = IndexBuilder.build(newCorpus, analyzer)
+    val corpus = index.corpus.unionByName(newCorpus)
+    val postings = index.postings.unionByName(delta.postings)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rebuild(index, corpus, postings)
+  }
+
+  /** Update = delete + add (reference: Lucene.java:327-330, 1788-1830).
+    * `updated` carries the replacement text for existing docIds. */
+  def updateDocs(index: Index, updated: DataFrame, analyzer: TextAnalyzer): Index = {
+    val ids = updated.select("docId")
+    val corpusKept = index.corpus.join(broadcast(ids), Seq("docId"), "left_anti")
+    val postingsKept = index.postings.join(broadcast(ids), Seq("docId"), "left_anti")
+    val delta = IndexBuilder.build(updated, analyzer)
+    val corpus = corpusKept.unionByName(updated)
+    val postings = postingsKept.unionByName(delta.postings)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rebuild(index, corpus, postings)
+  }
+
+  private def rebuild(old: Index, corpus: DataFrame, postings: DataFrame): Index = {
+    val termStats = postings.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val row = postings
+      .agg(countDistinct(col("docId")).as("docCount"), sum(col("tf")).as("sttf"))
+      .collect()(0)
+    val stats =
+      if (row.isNullAt(0) || row.isNullAt(1)) CorpusStats(0L, 0L)
+      else CorpusStats(row.getLong(0), row.getLong(1))
+    Index(corpus, postings, termStats, stats, old.analyzerName)
+  }
+}

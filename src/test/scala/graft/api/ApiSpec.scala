@@ -1,0 +1,78 @@
+package graft.api
+
+import graft.SparkSuite
+import graft.analysis.Analyzers
+import graft.build.Maintenance
+import graft.corpus.TranscriptGen
+import graft.model._
+import graft.score.QueryExec
+
+/** JSON surface, facet response shape, maintenance ops, streaming batch
+  * transform. */
+class ApiSpec extends SparkSuite {
+
+  private lazy val engine = SearchEngine.build(TranscriptGen.tiny(spark), Analyzers.Icat)
+
+  test("JSON request parse mirrors the reference shape") {
+    val req = Json.parseRequest(
+      """{"query":{"text":"needle_3 detector","lower":"202601010000",
+        |"upper":"202601312359","filter":{"role":"assistant","tool":["bash","search"]}},
+        |"sort":"{\"ts\":\"desc\"}","maxResults":7,
+        |"search_after":"{\"doc\":42,\"score\":1.5}"}""".stripMargin)
+    assert(req.text === Some("needle_3 detector"))
+    assert(req.lower === Some("202601010000"))
+    assert(req.filter("role") === Seq("assistant"))
+    assert(req.filter("tool") === Seq("bash", "search"))
+    assert(req.sort === SortSpec(Seq(("ts", false))))
+    assert(req.maxResults === 7)
+    assert(req.searchAfter === Some(AfterToken(42L, Some(1.5f), Nil)))
+  }
+
+  test("end-to-end JSON search round trip") {
+    val req = Json.parseRequest("""{"query":{"text":"needle_3"},"maxResults":3}""")
+    val resp = engine.search(req)
+    val json = Json.renderResponse(resp)
+    assert(json.startsWith("""{"results":["""))
+    assert(json.contains(""""search_after":{"doc":"""))
+    // token of last hit chains to the next page
+    val page2 = engine.search(req.copy(searchAfter = resp.searchAfter))
+    assert((resp.hits.map(_.docId).toSet intersect page2.hits.map(_.docId).toSet).isEmpty)
+  }
+
+  test("facet JSON mirrors the reference aggregation shape") {
+    val json = engine.facetJson(SearchRequest(text = Some("ambiguous")), Seq("role"))
+    assert(json.startsWith("""{"aggregations":{"role":{"buckets":{"""))
+    assert(json.contains("doc_count"))
+  }
+
+  test("maintenance: delete removes docs from results and stats") {
+    val before = engine.search(SearchRequest(text = Some("needle_3"), maxResults = 5))
+    val victim = before.hits.head.docId
+    val after = new SearchEngine(Maintenance.deleteDocs(engine.index, Seq(victim)))
+    val res = after.search(SearchRequest(text = Some("needle_3"), maxResults = 5))
+    assert(!res.hits.map(_.docId).contains(victim))
+    assert(after.index.stats.docCount === engine.index.stats.docCount - 1)
+  }
+
+  test("maintenance: update changes a doc's text and scores reflect it") {
+    val victim = engine.index.corpus.limit(1).collect()(0)
+    import org.apache.spark.sql.functions._
+    val updated = engine.index.corpus
+      .filter(col("docId") === victim.getAs[Long]("docId"))
+      .withColumn("text", lit("zzzuniqueterm zzzuniqueterm"))
+    val idx2 = Maintenance.updateDocs(engine.index, updated, Analyzers.Icat)
+    val hits = new QueryExec(idx2).topK(TermQuery("zzzuniqueterm"), Nil, 5).collect()
+    assert(hits.map(_.getLong(0)).toSeq === Seq(victim.getAs[Long]("docId")))
+  }
+
+  test("streaming batch transform emits the same postings as the batch builder") {
+    import org.apache.spark.sql.functions._
+    val turns = TranscriptGen.tiny(spark).toDF()
+    val streamed = graft.streaming.StreamingIndex.postingsFor(turns, Analyzers.Icat)
+    // same (term, tf) multiset per (conv_id-derived doc); compare totals
+    val a = streamed.agg(sum(col("tf")), count(lit(1))).collect()(0)
+    val b = engine.index.postings.agg(sum(col("tf")), count(lit(1))).collect()(0)
+    assert(a.getLong(0) === b.getLong(0))
+    assert(a.getLong(1) === b.getLong(1))
+  }
+}
