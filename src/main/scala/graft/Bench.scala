@@ -68,9 +68,12 @@ object Bench {
     * build doubles as the JIT/codegen warmup; the measurement is the best
     * of the two subsequent runs (steady state, standard practice — JVM
     * warmth and GC growth otherwise bias whichever core count runs first). */
-  private def buildAt(cores: Int, numConvs: Long, outDir: String): (Long, Double) = {
+  private def buildAt(cores: Int, numConvs: Long, outDir: String): (Long, Double, Double) = {
     val spark = session(cores)
     try {
+      // temporally-local hardware calibration at this phase's core count
+      cpuProbe(cores, 8)
+      val probe = (1 to 3).map(_ => cpuProbe(cores)).min
       // ingest (untimed): materialize the synthetic corpus like a source table
       val turns = TranscriptGen.generate(spark, numConvs)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -81,14 +84,16 @@ object Bench {
           val corpus = DocIds.forTurns(turns)
           val idx = IndexBuilder.build(corpus, Analyzers.Icat)
           IndexBuilder.save(idx, dir, hotDfThreshold = 10000L)
-          idx.postings.unpersist(); idx.termStats.unpersist()
         }
+        // drop all build caches so the next run starts clean (GC fairness)
+        spark.catalog.clearCache()
+        turns.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
         secs
       }
       oneBuild(s"$outDir-warm") // warmup at full size
       System.gc()
       val secs = math.min(oneBuild(outDir), { System.gc(); oneBuild(outDir) })
-      (nTurns, secs)
+      (nTurns, secs, probe)
     } finally spark.stop()
   }
 
@@ -105,20 +110,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val numConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "20000").toLong
+    val numConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "3000").toLong
     val loCores = 8
     val hiCores = 32
     val tmp = java.nio.file.Files.createTempDirectory("graft-bench").toString
 
-    // ---- hardware calibration (what can this box's cores even deliver) ----
-    cpuProbe(hiCores, 8) // warm the JIT for the probe itself
-    val probeLo = cpuProbe(loCores)
-    val probeHi = cpuProbe(hiCores)
+    // ---- scaling evidence: same build at lo and hi cores, each phase
+    // carrying its own temporally-local pure-CPU calibration probe ----
+    val (turnsLo, secsLo, probeLo) = buildAt(loCores, numConvs, s"$tmp/idx$loCores")
+    val (turnsHi, secsHi, probeHi) = buildAt(hiCores, numConvs, s"$tmp/idx$hiCores")
     val hwCeiling = (probeLo / probeHi) / (hiCores.toDouble / loCores)
-
-    // ---- scaling evidence: same build at lo and hi cores ----
-    val (turnsLo, secsLo) = buildAt(loCores, numConvs, s"$tmp/idx$loCores")
-    val (turnsHi, secsHi) = buildAt(hiCores, numConvs, s"$tmp/idx$hiCores")
     val thrLo = turnsLo / secsLo
     val thrHi = turnsHi / secsHi
     val rawEff = (thrHi / thrLo) / (hiCores.toDouble / loCores)
