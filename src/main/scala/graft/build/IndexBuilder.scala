@@ -30,7 +30,9 @@ final case class Index(
     postings: DataFrame,
     termStats: DataFrame,
     stats: CorpusStats,
-    analyzerName: String) {
+    analyzerName: String,
+    segments: Option[DataFrame] = None,
+    segSize: Int = Segments.DefaultSegSize) {
   def analyzer: TextAnalyzer = Analyzers.byName(analyzerName)
 }
 
@@ -108,7 +110,8 @@ object IndexBuilder {
     * file/row-group pruning for query-term lookups.
     */
   def save(index: Index, dir: String, numPartitions: Int = 0,
-           hotDfThreshold: Long = 1000000L, saltBuckets: Int = 16): Unit = {
+           hotDfThreshold: Long = 1000000L, saltBuckets: Int = 16,
+           writeSegments: Boolean = false, segSize: Int = Segments.DefaultSegSize): Unit = {
     val spark = index.corpus.sparkSession
     val n = if (numPartitions > 0) numPartitions
             else spark.sessionState.conf.numShufflePartitions
@@ -129,9 +132,13 @@ object IndexBuilder {
       .sortWithinPartitions("term", "docId")
       .write.mode("overwrite").parquet(s"$dir/postings")
 
+    if (writeSegments)
+      Segments.save(Segments.pack(index.postings, index.stats, segSize), s"$dir/segments", n)
+
     val meta =
       s"""{"analyzer":"${index.analyzerName}","docCount":${index.stats.docCount},""" +
-        s""""sumTotalTermFreq":${index.stats.sumTotalTermFreq},"version":1}"""
+        s""""sumTotalTermFreq":${index.stats.sumTotalTermFreq},"segSize":$segSize,""" +
+        s""""hasSegments":$writeSegments,"version":1}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/meta.json"), meta)
   }
 
@@ -142,11 +149,15 @@ object IndexBuilder {
       val m = java.util.regex.Pattern.compile("\"" + k + "\":\"?([^,}\"]+)").matcher(meta)
       require(m.find(), s"missing $k in meta.json"); m.group(1)
     }
+    val hasSegments = meta.contains("\"hasSegments\":true")
     Index(
       corpus = spark.read.parquet(s"$dir/corpus"),
       postings = spark.read.parquet(s"$dir/postings"),
       termStats = spark.read.parquet(s"$dir/termstats"),
       stats = CorpusStats(field("docCount").toLong, field("sumTotalTermFreq").toLong),
-      analyzerName = field("analyzer"))
+      analyzerName = field("analyzer"),
+      segments = if (hasSegments) Some(spark.read.parquet(s"$dir/segments")) else None,
+      segSize = if (meta.contains("\"segSize\"")) field("segSize").toInt
+                else Segments.DefaultSegSize)
   }
 }

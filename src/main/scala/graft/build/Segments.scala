@@ -33,6 +33,7 @@ import org.apache.spark.sql.functions._
 object Segments {
 
   final val BlockSize = 128
+  final val DefaultSegSize: Int = 1 << 20
 
   /** Pack flat postings (term, docId, tf, norm) into the segment layout.
     * One shuffle: groupBy(segId, term) with sorted collect. */

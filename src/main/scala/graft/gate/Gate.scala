@@ -1,9 +1,9 @@
 package graft.gate
 
 import graft.analysis.Analyzers
-import graft.build.{Index, IndexBuilder, SmallFloat}
+import graft.build.{Index, IndexBuilder, Segments, SmallFloat}
 import graft.model._
-import graft.score.QueryExec
+import graft.score.{Bm25, QueryExec, Wand}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -47,6 +47,17 @@ object Gate {
         postings = idx0.postings.persist(),
         termStats = idx0.termStats.persist())
       (idx, new QueryExec(idx, exact = true))
+    })
+
+  private val segCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val GateSegSize = 256
+
+  /** Packed segments over the gate index (small segSize so several
+    * segments exist even on the 500-doc tables). */
+  def gateSegments(spark: SparkSession, sfDir: String): DataFrame =
+    segCache.getOrElseUpdate(sfDir, {
+      val (idx, _) = gate(spark, sfDir)
+      Segments.pack(idx.postings, idx.stats, GateSegSize).persist()
     })
 
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
@@ -159,6 +170,24 @@ object Gate {
       },
       sql("""SELECT doc_id, round(tscore, 4) AS score FROM scores WHERE term = 'spark'
             |ORDER BY tscore DESC, doc_id LIMIT 10 OFFSET 10""".stripMargin)),
+
+    GateQuery("bm25_wand",
+      (s, d) => {
+        // the block-max WAND segment kernel, exact-score mode: must equal
+        // the flat OR query (same oracle SQL as bm25_or)
+        val (idx, _) = gate(s, d)
+        val terms = Seq("spark", "merge")
+        val dfm = idx.termStats.filter(col("term").isin(terms: _*))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val idf = terms.flatMap(t => dfm.get(t).map(df =>
+          t -> Bm25.idf(idx.stats.docCount, df))).toMap
+        Wand.topK(gateSegments(s, d), idx.stats, idf, 20, GateSegSize, exact = true)
+          .select(col("docId").as("doc_id"), round(col("score"), 4).as("score"))
+      },
+      sql("""SELECT doc_id, round(score, 4) AS score FROM (
+            |  SELECT doc_id, sum(tscore) AS score FROM scores
+            |  WHERE term IN ('spark','merge') GROUP BY doc_id)
+            |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
 
     GateQuery("term_stats",
       (s, d) => {

@@ -26,11 +26,13 @@ object Wand {
     * @param termIdf  query terms with their global (double) idf
     */
   def topK(segments: DataFrame, stats: CorpusStats,
-           termIdf: Map[String, Double], k: Int, segSize: Int = 1 << 20): DataFrame = {
+           termIdf: Map[String, Double], k: Int, segSize: Int = 1 << 20,
+           exact: Boolean = false): DataFrame = {
     val spark = segments.sparkSession
     import spark.implicits._
-    val avgdlF = (stats.sumTotalTermFreq / stats.docCount.toDouble).toFloat
-    val cache = Bm25.normCache(avgdlF)
+    val avgdlD = stats.sumTotalTermFreq / stats.docCount.toDouble
+    val cache = Bm25.normCache(avgdlD.toFloat)
+    val cacheD = Bm25.normCacheExact(avgdlD)
     val terms = termIdf.keys.toSeq
     val bIdf = spark.sparkContext.broadcast(termIdf)
 
@@ -47,14 +49,16 @@ object Wand {
             r.getSeq[Int](2).toArray,
             r.getSeq[Int](3).toArray,
             r.getAs[Array[Byte]](4),
-            bIdf.value(r.getString(1)).toFloat,
-            cache)
+            bIdf.value(r.getString(1)),
+            cache, cacheD, exact)
         }.toArray
-        wandSegment(its, k).iterator
+        wandSegment(its, k, exact).iterator
       }
       .toDF("docId", "score")
 
-    perSegment.orderBy(col("score").desc, col("docId").asc).limit(k)
+    val ranked = perSegment.orderBy(col("score").desc, col("docId").asc).limit(k)
+    if (exact) ranked
+    else ranked.select(col("docId"), col("score").cast("float").as("score"))
   }
 
   /** Decoded posting-list cursor with skip support. */
@@ -63,8 +67,11 @@ object Wand {
       deltas: Array[Int],
       val tfs: Array[Int],
       norms: Array[Byte],
-      val weightF: Float,
-      cache: Array[Float]) {
+      val weightD: Double,
+      cache: Array[Float],
+      cacheD: Array[Double],
+      exact: Boolean) {
+    val weightF: Float = weightD.toFloat
     val n: Int = deltas.length
     // absolute docIds (delta decode once; per-block lazy decode is the
     // disk-format optimization — in-memory arrays here are already small:
@@ -83,15 +90,27 @@ object Wand {
     var pos: Int = 0
     // conservative per-term upper bound: max block impact × weight, padded
     // one float-ulp-ish to stay a true bound under float rounding
-    val maxScore: Float = {
-      var m = 0f
-      var i = 0
-      while (i < n) {
-        val s = Bm25.score(tfs(i), norms(i), 1.0d, cache)
-        if (s > m) m = s
-        i += 1
+    val maxScore: Double = {
+      if (exact) {
+        var m = 0d
+        var i = 0
+        while (i < n) {
+          val norm = cacheD(norms(i) & 0xff)
+          val s = tfs(i).toDouble / (tfs(i).toDouble + norm)
+          if (s > m) m = s
+          i += 1
+        }
+        m * weightD * (1 + 1e-12)
+      } else {
+        var m = 0f
+        var i = 0
+        while (i < n) {
+          val s = Bm25.score(tfs(i), norms(i), 1.0d, cache)
+          if (s > m) m = s
+          i += 1
+        }
+        (m * weightF * 1.000002f).toDouble
       }
-      m * weightF * 1.000002f
     }
     def exhausted: Boolean = pos >= n
     def doc: Long = docs(pos)
@@ -106,19 +125,22 @@ object Wand {
       }
       pos = lo
     }
-    def scoreCurrent: Float = Bm25.score(tfs(pos), norms(pos), weightF.toDouble, cache)
+    def scoreCurrent: Double =
+      if (exact) weightD * tfs(pos).toDouble / (tfs(pos).toDouble + cacheD(norms(pos) & 0xff))
+      else Bm25.score(tfs(pos), norms(pos), weightD, cache).toDouble
   }
 
   /** Classic WAND over one segment: maintain cursors sorted by current
     * docId; pivot = first cursor where the cumulative upper bound reaches
     * the heap threshold; fully evaluate only pivot-aligned docs. */
-  private[score] def wandSegment(its: Array[PostingsIterator], k: Int): Seq[(Long, Float)] = {
+  private[score] def wandSegment(its: Array[PostingsIterator], k: Int,
+                                 exact: Boolean): Seq[(Long, Double)] = {
     // bounded min-heap on (score asc, docId desc) so the head is the
     // weakest hit; final order handled by the global sort
-    implicit val ord: Ordering[(Long, Float)] =
+    implicit val ord: Ordering[(Long, Double)] =
       Ordering.by { case (id, s) => (s, -id) }
-    val heap = scala.collection.mutable.PriorityQueue.empty[(Long, Float)](ord.reverse)
-    def threshold: Float = if (heap.size < k) -1f else heap.head._2
+    val heap = scala.collection.mutable.PriorityQueue.empty[(Long, Double)](ord.reverse)
+    def threshold: Double = if (heap.size < k) -1d else heap.head._2
 
     val live = scala.collection.mutable.ArrayBuffer(its.filter(!_.exhausted): _*)
     while (live.nonEmpty) {
@@ -129,7 +151,7 @@ object Wand {
       var i = 0
       while (p < 0 && i < sorted.length) {
         ub += sorted(i).maxScore
-        if (ub.toFloat > threshold) p = i
+        if (ub > threshold) p = i
         i += 1
       }
       if (p < 0) return heap.dequeueAll.reverse.toSeq // nothing can qualify
@@ -144,7 +166,7 @@ object Wand {
             it.pos += 1
           }
         }
-        val score = acc.toFloat
+        val score = if (exact) acc else acc.toFloat.toDouble
         if (heap.size < k) heap.enqueue((pivotDoc, score))
         else if (score > threshold ||
           (score == threshold && pivotDoc < heap.head._1)) {
