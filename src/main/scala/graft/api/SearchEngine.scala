@@ -79,6 +79,25 @@ final class SearchEngine(val index: Index) {
 
   private implicit class HitOps(h: ScoredHit) { def turnIdx: Int = h.turn_idx }
 
+  /** Time-limited search (reference: TimeLimitingCollector + HTTP 504,
+    * Lucene.java:1467-1516, default 5 s): cancel the job group on timeout
+    * and report the overrun instead of hanging. */
+  def searchWithTimeout(req: SearchRequest, timeoutSecs: Int = 5): Either[String, SearchResponse] = {
+    val group = s"graft-search-${System.nanoTime()}"
+    spark.sparkContext.setJobGroup(group, "time-limited search", interruptOnCancel = true)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    try {
+      val f = Future(search(req))
+      Right(Await.result(f, timeoutSecs.seconds))
+    } catch {
+      case _: java.util.concurrent.TimeoutException =>
+        spark.sparkContext.cancelJobGroup(group)
+        Left(s"search exceeded $timeoutSecs s") // the reference's 504
+    } finally spark.sparkContext.clearJobGroup()
+  }
+
   /** String facets: doc counts per label of each dimension over the
     * query's matches, ordered count-desc then label, limited to maxLabels
     * (reference: Lucene.java:1334-1368; cross-partition merge is the
@@ -132,6 +151,10 @@ final class SearchEngine(val index: Index) {
 }
 
 object SearchEngine {
+
+  /** API version constant (reference: Constants.java / GET /version,
+    * Lucene.java:467-476). */
+  val ApiVersion = "1.0.0"
 
   /** Build an engine from a turns dataset: assign dense docIds, build the
     * index tables. */

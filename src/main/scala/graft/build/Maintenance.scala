@@ -58,6 +58,21 @@ object Maintenance {
     rebuild(index, corpus, postings)
   }
 
+  /** Denormalization refresh (reference: updateByRelation,
+    * Lucene.java:1846-1939 — when a parent-entity row changes, rewrite the
+    * flattened fields on all child documents). Here: overwrite `cols` on
+    * every corpus row by joining the updated dimension on `key`. The
+    * reference pages through children in 10k searchAfter blocks; a join
+    * IS that loop, distributed. */
+  def updateByRelation(corpus: DataFrame, dim: DataFrame,
+                       key: String, cols: Seq[String]): DataFrame = {
+    val dimSel = dim.select((key +: cols).map(col): _*)
+    val renamed = cols.foldLeft(dimSel)((d, c) => d.withColumnRenamed(c, s"__new_$c"))
+    val joined = corpus.join(broadcast(renamed), Seq(key), "left")
+    cols.foldLeft(joined)((d, c) =>
+      d.withColumn(c, coalesce(col(s"__new_$c"), col(c))).drop(s"__new_$c"))
+  }
+
   private def rebuild(old: Index, corpus: DataFrame, postings: DataFrame): Index = {
     val termStats = postings.groupBy(col("term"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))

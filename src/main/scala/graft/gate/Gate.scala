@@ -171,6 +171,11 @@ object Gate {
       sql("""SELECT doc_id, round(tscore, 4) AS score FROM scores WHERE term = 'spark'
             |ORDER BY tscore DESC, doc_id LIMIT 10 OFFSET 10""".stripMargin)),
 
+    GateQuery("wildcard_prefix",
+      (s, d) => topKDf(s, d, "sc*n", Nil, 1000),
+      sql("""SELECT DISTINCT doc_id, 1.0 AS score FROM post
+            |WHERE term LIKE 'sc%n' ORDER BY doc_id LIMIT 1000""".stripMargin)),
+
     GateQuery("bm25_wand",
       (s, d) => {
         // the block-max WAND segment kernel, exact-score mode: must equal

@@ -32,6 +32,25 @@ case object MatchNone extends Query
 /** A single already-analyzed term, BM25-scored. */
 final case class TermQuery(term: String) extends Query
 
+/** Wildcard/prefix term pattern (`*` any run, `?` one char), lowercased
+  * before matching as the reference does (SearchBucket.java:171-194) and
+  * scored constant 1.0 per matching doc (Lucene's multi-term
+  * CONSTANT_SCORE rewrite — SURVEY.md §7.4). */
+final case class WildcardQuery(pattern: String) extends Query {
+  /** anchored regex equivalent of the lowercased pattern */
+  def regex: String = {
+    val lower = pattern.toLowerCase(java.util.Locale.ROOT)
+    val sb = new StringBuilder("^")
+    lower.foreach {
+      case '*' => sb.append(".*")
+      case '?' => sb.append('.')
+      case c if "\\.[]{}()<>+-=!?^$|".indexOf(c) >= 0 => sb.append('\\').append(c)
+      case c => sb.append(c)
+    }
+    sb.append('$').toString
+  }
+}
+
 /** Boolean combination; scores = sum of matching must+should clause
   * scores; filter and mustNot contribute nothing to the score. */
 final case class BoolQuery(
@@ -67,10 +86,12 @@ object QueryText {
         if (w.startsWith("+")) ('+', w.substring(1))
         else if (w.startsWith("-")) ('-', w.substring(1))
         else (' ', w)
-      val terms = analyze(body)
+      val isWildcard = body.exists(c => c == '*' || c == '?')
+      val terms = if (isWildcard) Array(body) else analyze(body)
       if (terms.nonEmpty) {
         val node: Query =
-          if (terms.length == 1) TermQuery(terms(0))
+          if (isWildcard) WildcardQuery(body)
+          else if (terms.length == 1) TermQuery(terms(0))
           else BoolQuery(should = terms.toSeq.map(TermQuery(_)))
         occ match {
           case '+' => must ::= node

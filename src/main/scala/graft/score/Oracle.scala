@@ -59,6 +59,9 @@ final class NaiveOracle(docs: Seq[NaiveOracle.Doc]) {
     case MatchAll     => Some(1.0f)
     case MatchNone    => None
     case TermQuery(t) => termScore(t, d)
+    case w: WildcardQuery =>
+      val re = w.regex.r
+      if (d.terms.exists(t => re.findFirstIn(t).isDefined)) Some(1.0f) else None
     case BoolQuery(must, should, mustNot, filter) =>
       if (!filter.forall(matchesAttr(_, d))) return None
       if (mustNot.exists(scoreDoc(_, d).isDefined)) return None

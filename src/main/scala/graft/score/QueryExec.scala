@@ -98,6 +98,16 @@ final class QueryExec(val index: Index, val exact: Boolean = false) {
       base.select(col("docId"), one.as("score"))
     case TermQuery(t) =>
       matches(BoolQuery(should = Seq(TermQuery(t))), filters)
+    case w: WildcardQuery =>
+      // Lucene multi-term rewrite: expand against the term dictionary,
+      // constant score 1.0 per matching doc. The dictionary scan stays
+      // distributed (semi-join postings ⟕ matched terms).
+      val matched = index.termStats
+        .filter(col("term").rlike(w.regex)).select("term")
+      var scan = index.postings.join(matched, "term")
+      attrCondition(filters).foreach(c => scan = scan.filter(c))
+      scan.select(col("docId")).distinct()
+        .withColumn("score", one)
     case bq: BoolQuery =>
       val withFilters =
         if (bq.filter.nonEmpty) bq.copy(filter = Nil) else bq

@@ -45,6 +45,14 @@ class AnalyzerSpec extends AnyFunSuite {
       Seq("needle_3", "foo_bar", "a", "3", "or", "2"))
   }
 
+  test("separator analyzer: path and filename tokenization (IcatSeparatorAnalyzer.java:13-26)") {
+    assert(Analyzers.Separator('/')("/Path/To/Data/File.TXT").terms.toSeq ===
+      Seq("path", "to", "data", "file.txt"))
+    assert(Analyzers.Separator('.')("Archive.Tar.GZ").terms.toSeq ===
+      Seq("archive", "tar", "gz"))
+    assert(Analyzers.byName("sep_/").apply("a/b").terms.toSeq === Seq("a", "b"))
+  }
+
   test("possessive filter") {
     assert(Analyzers.stripPossessive("TokenStream's") === "TokenStream")
     assert(Analyzers.stripPossessive("its’S") === "its’S".dropRight(2))

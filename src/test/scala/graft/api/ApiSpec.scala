@@ -65,6 +65,23 @@ class ApiSpec extends SparkSuite {
     assert(hits.map(_.getLong(0)).toSeq === Seq(victim.getAs[Long]("docId")))
   }
 
+  test("updateByRelation rewrites denormalized columns from a changed dimension") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val corpus = Seq((0L, "c0", "oldA"), (1L, "c0", "oldA"), (2L, "c1", "oldB"))
+      .toDF("docId", "conv_id", "convTitle")
+    val dim = Seq(("c0", "newA")).toDF("conv_id", "convTitle")
+    val got = Maintenance.updateByRelation(corpus, dim, "conv_id", Seq("convTitle"))
+      .orderBy("docId").collect().map(_.getString(2)).toSeq
+    assert(got === Seq("newA", "newA", "oldB"))
+  }
+
+  test("searchWithTimeout returns results within budget") {
+    val r = engine.searchWithTimeout(SearchRequest(text = Some("needle_3"), maxResults = 3), 60)
+    assert(r.isRight)
+    assert(r.toOption.get.hits.nonEmpty)
+  }
+
   test("streaming batch transform emits the same postings as the batch builder") {
     import org.apache.spark.sql.functions._
     val turns = TranscriptGen.tiny(spark).toDF()

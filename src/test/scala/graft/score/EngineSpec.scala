@@ -73,6 +73,10 @@ class EngineSpec extends SparkSuite {
     checkParity("ambiguous", Seq(TsRange(lo, hi)))
   }
   test("q10 hot zipf terms") { checkParity("w0000 w0001", k = 100) }
+  test("wildcard prefix (constant score)") { checkParity("needle_*", k = 50) }
+  test("wildcard ? and case-lowering") { checkParity("NEEDLE_?", k = 50) }
+  test("wildcard mixed with scored term") { checkParity("rare_00* hydrogen", k = 30) }
+  test("wildcard as MUST with NOT") { checkParity("+needle_* -ambiguous", k = 30) }
   test("ambiguous length-normalization (norm quantization)") { checkParity("ambiguous", k = 50) }
 
   test("q08 search_after pagination: pages concatenate to unpaginated prefix") {
