@@ -111,12 +111,15 @@ object IndexBuilder {
     */
   def save(index: Index, dir: String, numPartitions: Int = 0,
            hotDfThreshold: Long = 1000000L, saltBuckets: Int = 16,
-           writeSegments: Boolean = false, segSize: Int = Segments.DefaultSegSize): Unit = {
+           writeSegments: Boolean = false, segSize: Int = Segments.DefaultSegSize,
+           writeCorpus: Boolean = true): Unit = {
     val spark = index.corpus.sparkSession
     val n = if (numPartitions > 0) numPartitions
             else spark.sessionState.conf.numShufflePartitions
 
-    index.corpus.write.mode("overwrite").parquet(s"$dir/corpus")
+    // stored fields: when the corpus already lives in a source table the
+    // rewrite is optional (Lucene must store fields; we have the table)
+    if (writeCorpus) index.corpus.write.mode("overwrite").parquet(s"$dir/corpus")
     index.termStats.write.mode("overwrite").parquet(s"$dir/termstats")
 
     val hotTerms = index.termStats
