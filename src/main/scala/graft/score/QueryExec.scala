@@ -185,6 +185,20 @@ final class QueryExec(val index: Index, val exact: Boolean = false) {
     * (docId, score) limited to k — Catalyst plans TakeOrderedAndProject.  */
   def topK(q: Query, filters: Seq[AttrPredicate], k: Int,
            after: Option[AfterToken] = None): DataFrame = {
+    // fast path: pure-should distinct-term queries with no filters or
+    // cursor route to the block-max WAND kernel when segments exist
+    if (after.isEmpty && filters.isEmpty && index.segments.isDefined) {
+      pureShouldTerms(q).foreach { terms =>
+        val dfm = index.termStats.filter(col("term").isin(terms: _*))
+          .select("term", "df").as[(String, Long)].collect().toMap
+        val idf = terms.flatMap(t => dfm.get(t).map(d =>
+          t -> Bm25.idf(index.stats.docCount, d))).toMap
+        if (idf.isEmpty)
+          return matches(MatchNone).orderBy(col("score").desc, col("docId").asc)
+        return Wand.topK(index.segments.get, index.stats, idf, k,
+          index.segSize, exact)
+      }
+    }
     var m = matches(q, filters)
     after.foreach { a =>
       a.score.foreach { s =>
@@ -194,6 +208,20 @@ final class QueryExec(val index: Index, val exact: Boolean = false) {
       if (a.score.isEmpty) m = m.filter(col("docId") > lit(a.docId))
     }
     m.orderBy(col("score").desc, col("docId").asc).limit(k)
+  }
+
+  /** Pure-should distinct analyzed terms, when the query is exactly that
+    * shape (the WAND-routable disjunction). Duplicate terms fall through:
+    * the boolean path scores a repeated clause twice, WAND would not. */
+  private def pureShouldTerms(q: Query): Option[Seq[String]] = q match {
+    case TermQuery(t) => Some(Seq(t))
+    case BoolQuery(Nil, should, Nil, Nil) =>
+      val ts = should.map { case TermQuery(t) => Some(t); case _ => None }
+      if (ts.forall(_.isDefined)) {
+        val terms = ts.map(_.get)
+        if (terms.distinct.size == terms.size) Some(terms) else None
+      } else None
+    case _ => None
   }
 
   /** Field-sorted top-k (reference: typed sort fields via doc values,

@@ -45,6 +45,20 @@ class WandSpec extends SparkSuite {
   test("rare + hot mix") { checkWand("rare_001 w0002 needle_7", 25) }
   test("ambiguous (norm quantization)") { checkWand("ambiguous", 40) }
 
+  test("auto-routing: QueryExec runs WAND when segments are present") {
+    val withSegs = engine.index.copy(segments = Some(segments), segSize = segSize)
+    val routed = new QueryExec(withSegs)
+    val flat = new QueryExec(engine.index)
+    val q = QueryText.parse("needle_3 hydrogen", s => Analyzers.Icat(s).terms)
+    val a = routed.topK(q, Nil, 10).collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+    val b = flat.topK(q, Nil, 10).collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+    assert(a === b)
+    // filtered / cursored / must queries must NOT route (still correct)
+    val c = routed.topK(q, Seq(graft.model.FieldEquals("role", "user")), 10).collect()
+    val d = flat.topK(q, Seq(graft.model.FieldEquals("role", "user")), 10).collect()
+    assert(c.map(_.getLong(0)).toSeq === d.map(_.getLong(0)).toSeq)
+  }
+
   test("segment packing invariants: delta decode, df, block bounds") {
     import org.apache.spark.sql.functions._
     val rows = segments.collect()
