@@ -122,6 +122,21 @@ object PipelineGate {
       },
       None),
 
+    // rows-only: IVF recall vs brute force checked in PipelineSpec
+    GateQuery("ann_ivf",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val q = emb.filter(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0).toArray
+        Similarity.ivfTopK(emb, q, 10, excludeId = Some(0L))
+      },
+      None),
+
+    // rows-only: classification accuracy pinned on real sentences in PipelineSpec
+    GateQuery("lang_id_ngram",
+      (s, d) => TextAnalysis.langIdNgram(docs(s, d)).orderBy("doc_id"),
+      None),
+
     GateQuery("multimodal_decode",
       (s, d) => Multimodal.decode(Multimodal.asMedia(docs(s, d)))
         .select("doc_id", "n_bytes", "head_byte", "width", "height")

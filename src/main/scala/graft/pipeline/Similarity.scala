@@ -93,6 +93,82 @@ object Similarity {
       .select(col(idCol), round(col("cos"), 4).as("cos"))
   }
 
+  /** IVF (inverted-file) ANN: a coarse k-means quantizer assigns every
+    * vector to a cell; a query probes only the `nProbe` nearest cells and
+    * reranks those candidates exactly. The cell table is the "index";
+    * at cluster scale it is partitioned by cell id so a probe touches
+    * nProbe partitions. Training runs driver-side over a deterministic
+    * sample (standard IVF practice — the quantizer is tiny). */
+  def kmeansCentroids(sample: Array[Array[Double]], k: Int, iters: Int = 8,
+                      seed: Long = 42L): Array[Array[Double]] = {
+    val r = new java.util.Random(seed)
+    val dim = sample.head.length
+    val idx = r.ints(0, sample.length).distinct().limit(k).toArray
+    val cents = idx.map(i => sample(i).clone())
+    (0 until iters).foreach { _ =>
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        val c = nearestCentroid(v, cents)
+        counts(c) += 1
+        var j = 0
+        while (j < dim) { sums(c)(j) += v(j); j += 1 }
+      }
+      (0 until k).foreach { c =>
+        if (counts(c) > 0) {
+          var j = 0
+          while (j < dim) { cents(c)(j) = sums(c)(j) / counts(c); j += 1 }
+        }
+      }
+    }
+    cents
+  }
+
+  private def nearestCentroid(v: Array[Double], cents: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      var d = 0.0
+      var j = 0
+      while (j < v.length) { val x = v(j) - cents(c)(j); d += x * x; j += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** IVF top-k for one query vector. */
+  def ivfTopK(emb: DataFrame, query: Array[Float], k: Int,
+              nCells: Int = 16, nProbe: Int = 4, sampleSize: Int = 1024,
+              seed: Long = 42L, idCol: String = "vec_id",
+              vecCol: String = "embedding", excludeId: Option[Long] = None): DataFrame = {
+    val base = excludeId.map(i => emb.filter(col(idCol) =!= i)).getOrElse(emb)
+    // deterministic sample: lowest ids
+    val sample = base.orderBy(col(idCol)).limit(sampleSize)
+      .select(vecCol).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val cents = kmeansCentroids(sample, math.min(nCells, sample.length), seed = seed)
+    val bCents = base.sparkSession.sparkContext.broadcast(cents)
+    val cellUdf = udf((v: Seq[Float]) =>
+      nearestCentroid(v.map(_.toDouble).toArray, bCents.value))
+    val qv = query.map(_.toDouble)
+    val probeCells = cents.zipWithIndex
+      .map { case (c, i) =>
+        var d = 0.0
+        var j = 0
+        while (j < qv.length) { val x = qv(j) - c(j); d += x * x; j += 1 }
+        (i, d)
+      }
+      .sortBy(_._2).take(nProbe).map(_._1)
+    base.withColumn("__cell", cellUdf(col(vecCol)))
+      .filter(col("__cell").isin(probeCells.toSeq: _*))
+      .select(col(idCol), cosineCol(col(vecCol), query).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), round(col("cos"), 4).as("cos"))
+  }
+
   /** All-pairs embedding near-duplicates above a cosine threshold, LSH
     * blocked (pairs sharing any signature band), exact rerank. */
   def nearDupPairs(emb: DataFrame, threshold: Double, numPlanes: Int = 16,

@@ -62,6 +62,57 @@ object TextAnalysis {
       size(filter(split(col(textCol), "(?<=[a-z])(?=[0-9])|(?<=[0-9])(?=[a-z])|[^a-z0-9]+"),
         t => t =!= "")).cast("long").as("subword_tokens"))
 
+  /** Tiny embedded char-trigram language profiles (built in-code from a
+    * few seed sentences per language — a real deployment would train on a
+    * labeled corpus; the operator shape, a narrow scored classification,
+    * is identical). */
+  object NgramLang {
+    private val seeds: Map[String, String] = Map(
+      "en" -> ("the quick brown fox jumps over the lazy dog and then it was " +
+        "clear that these things would not change with time because they are"),
+      "fr" -> ("le renard brun rapide saute par dessus le chien paresseux et " +
+        "il etait clair que ces choses ne changeraient pas avec le temps"),
+      "de" -> ("der schnelle braune fuchs springt ueber den faulen hund und " +
+        "es war klar dass sich diese dinge mit der zeit nicht aendern wuerden"),
+      "es" -> ("el rapido zorro marron salta sobre el perro perezoso y estaba " +
+        "claro que estas cosas no cambiarian con el tiempo porque son asi"))
+
+    private def trigrams(s: String): Map[String, Double] = {
+      val t = " " + s.toLowerCase(java.util.Locale.ROOT).replaceAll("[^a-z ]", " ")
+        .replaceAll("\\s+", " ").trim + " "
+      val grams = (0 to t.length - 3).map(i => t.substring(i, i + 3))
+      val n = grams.size.toDouble
+      grams.groupBy(identity).map { case (g, xs) => g -> xs.size / n }
+    }
+
+    val profiles: Map[String, Map[String, Double]] = seeds.map { case (l, s) => l -> trigrams(s) }
+
+    /** cosine similarity of trigram frequency profiles */
+    def classify(text: String): (String, Double) = {
+      val p = trigrams(text)
+      def cos(a: Map[String, Double], b: Map[String, Double]): Double = {
+        val dot = a.iterator.map { case (g, w) => w * b.getOrElse(g, 0.0) }.sum
+        val na = math.sqrt(a.valuesIterator.map(x => x * x).sum)
+        val nb = math.sqrt(b.valuesIterator.map(x => x * x).sum)
+        if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+      }
+      val scored = profiles.map { case (l, prof) => l -> cos(p, prof) }
+      val (l, sc) = scored.maxBy(_._2)
+      if (sc < 0.05) ("unknown", sc) else (l, sc)
+    }
+  }
+
+  /** Char-n-gram language ID: trigram-profile cosine against the embedded
+    * per-language profiles — narrow map, no shuffle. */
+  def langIdNgram(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val cls = udf((s: String) => {
+      val (l, sc) = NgramLang.classify(if (s == null) "" else s)
+      (l, math.rint(sc * 10000) / 10000)
+    })
+    df.select(col(idCol), cls(col(textCol)).as("c"))
+      .select(col(idCol), col("c._1").as("lang_pred"), col("c._2").as("lang_score"))
+  }
+
   /** 64-bit document fingerprint: FNV-1a over the normalized token stream
     * (rolling content hash — equal normalized content ⇒ equal print). */
   def fingerprint(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {

@@ -42,6 +42,33 @@ class PipelineSpec extends SparkSuite {
     assert((brute intersect lsh).size >= 3, s"overlap ${(brute intersect lsh).size}")
   }
 
+  test("IVF ANN: probed cells recover most of the brute-force top-k") {
+    val q = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val brute = Similarity.bruteForceTopK(emb, q, 10, excludeId = Some(0L))
+      .collect().map(_.getLong(0)).toSet
+    val ivf = Similarity.ivfTopK(emb, q, 10, excludeId = Some(0L))
+      .collect().map(_.getLong(0)).toSet
+    assert(ivf.nonEmpty)
+    assert((brute intersect ivf).size >= 3, s"ivf overlap ${(brute intersect ivf).size}")
+  }
+
+  test("char-ngram language ID classifies real sentences") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the weather was nice and the children played in the garden all day"),
+      (2L, "le temps etait agreable et les enfants jouaient dans le jardin"),
+      (3L, "das wetter war schoen und die kinder spielten den ganzen tag im garten"),
+      (4L, "el tiempo era agradable y los ninos jugaban en el jardin todo el dia"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.langIdNgram(df).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got(1L) === "en")
+    assert(got(2L) === "fr")
+    assert(got(3L) === "de")
+    assert(got(4L) === "es")
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     val pairs = Similarity.nearDupPairs(emb, 0.30).collect()
     pairs.foreach { r =>
