@@ -1,0 +1,40 @@
+package graft.gate
+
+import graft.SparkSuite
+
+/** Smoke-guards the driver-verify surface: every gate query must run and
+  * produce rows at sf0.001 (a query that throws or goes empty at driver
+  * time would silently zero that line of CORRECTNESS_r{N}). The value
+  * correctness itself is checked against DuckDB by tools/check_gate.py
+  * and the driver. */
+class GateSpec extends SparkSuite {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  (Gate.all ++ PipelineGate.all).foreach { gq =>
+    test(s"gate query ${gq.name} runs and returns rows") {
+      val df = gq.fn(spark, sfDir)
+      val n = df.count()
+      assert(n > 0, s"${gq.name} returned no rows")
+      // column names must be stable (the driver hashes by sorted name)
+      assert(df.columns.nonEmpty && df.columns.forall(_.nonEmpty))
+    }
+  }
+
+  test("oracleSql covers exactly the queries that declare an oracle") {
+    val withSql = (Gate.all ++ PipelineGate.all).filter(_.sql.isDefined).map(_.name).toSet
+    assert(graft.SparkEntry.oracleSql.keySet === withSql)
+    assert(graft.SparkEntry.queries.keySet ===
+      (Gate.all ++ PipelineGate.all).map(_.name).toSet)
+    // every oracle references only tables the driver registers
+    val tables = Set("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    graft.SparkEntry.oracleSql.values.foreach { sql =>
+      val froms = "(?i)FROM\\s+([a-z_]+)".r.findAllMatchIn(sql).map(_.group(1)).toSet
+      val unknown = froms -- tables --
+        Set("toks", "dl", "dlq", "stats", "post", "tstat", "scores", "arr", "sh",
+          "sizes", "counts", "documents", "events", "embeddings")
+      assert(unknown.isEmpty, s"oracle references unknown tables: $unknown")
+    }
+  }
+}
