@@ -49,53 +49,73 @@ final class SearchEngine(val index: Index) {
     val top =
       if (req.sort.isScore) exec.topK(q, filters, req.maxResults, req.searchAfter)
       else exec.topKSorted(q, filters, req.sort, req.maxResults, req.searchAfter)
-    val hitsDf = index.corpus
-      .join(broadcast(top.select("docId", "score")), "docId")
+    // Collect the ordered top-k FIRST (≤ k rows) and keep ITS row order —
+    // the limited frame is already in the engine's full lexicographic sort
+    // order (all sort fields + docId tiebreak); re-sorting driver-side by a
+    // subset of keys would mis-order multi-field sorts and mint a wrong
+    // search_after token.
+    val topRows = top.collect()
+    val orderedIds: Array[Long] = topRows.map(_.getLong(0))
+    val scoreOf: Map[Long, Float] =
+      topRows.map(r => r.getLong(0) -> toFloatScore(r.get(1))).toMap
     import spark.implicits._
-    val rows = hitsDf
-      .select("docId", "score", "conv_id", "turn_idx", "role", "text", "tool", "ts")
-      .as[ScoredHit].collect()
-    val ordered =
-      if (req.sort.isScore) rows.sortBy(h => (-h.score, h.docId)).toSeq
-      else {
-        val keyOf: ScoredHit => Long = req.sort.fields.head._1 match {
-          case "ts"       => h => h.ts.getTime
-          case "turn_idx" => h => h.turnIdx
-          case f          => sys.error(s"unsupported sort field $f")
-        }
-        val asc = req.sort.fields.head._2
-        rows.sortBy(h => (if (asc) keyOf(h) else -keyOf(h), h.docId)).toSeq
-      }
-    val afterTok = ordered.lastOption.map { h =>
-      if (req.sort.isScore) AfterToken(h.docId, Some(h.score), Nil)
-      else AfterToken(h.docId, None, req.sort.fields.map {
-        case ("ts", _)       => h.ts.getTime
-        case ("turn_idx", _) => h.turnIdx
-        case (f, _)          => sys.error(s"unsupported sort field $f")
+    val fetched = index.corpus
+      .join(broadcast(spark.createDataset(orderedIds.toSeq).toDF("docId")), "docId")
+      .select("docId", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+      .collect()
+      .map { r =>
+        val id = r.getLong(0)
+        id -> ScoredHit(id, scoreOf(id), r.getString(1), r.getInt(2), r.getString(3),
+          r.getString(4), Option(r.getString(5)), r.getTimestamp(6))
+      }.toMap
+    val ordered: Seq[ScoredHit] = orderedIds.flatMap(fetched.get).toSeq
+    // after token from the last TOP row: field values come off the sorted
+    // frame itself (topKSorted selects every sort column); timestamps are
+    // encoded as epoch ms, the reference's token wire shape
+    // (Lucene.java:1544-1561).
+    val afterTok = topRows.lastOption.map { r =>
+      if (req.sort.isScore) AfterToken(r.getLong(0), Some(toFloatScore(r.get(1))), Nil)
+      else AfterToken(r.getLong(0), None, req.sort.fields.zipWithIndex.map {
+        case ((_, _), i) =>
+          r.get(i + 2) match {
+            case t: java.sql.Timestamp => t.getTime
+            case v                     => v
+          }
       })
     }
     SearchResponse(ordered, afterTok)
   }
 
-  private implicit class HitOps(h: ScoredHit) { def turnIdx: Int = h.turn_idx }
+  private def toFloatScore(v: Any): Float = v match {
+    case f: Float  => f
+    case d: Double => d.toFloat
+    case n: Number => n.floatValue()
+  }
 
   /** Time-limited search (reference: TimeLimitingCollector + HTTP 504,
-    * Lucene.java:1467-1516, default 5 s): cancel the job group on timeout
-    * and report the overrun instead of hanging. */
-  def searchWithTimeout(req: SearchRequest, timeoutSecs: Int = 5): Either[String, SearchResponse] = {
-    val group = s"graft-search-${System.nanoTime()}"
-    spark.sparkContext.setJobGroup(group, "time-limited search", interruptOnCancel = true)
+    * Lucene.java:1467-1516, default 5 s). Spark job groups are
+    * thread-local, so the group MUST be set inside the Future body on the
+    * thread that actually submits the jobs — setting it on the caller's
+    * thread would leave the submitted jobs ungrouped and cancelJobGroup
+    * a no-op. */
+  def searchWithTimeout(req: SearchRequest, timeoutSecs: Int = 5,
+                        groupName: Option[String] = None): Either[String, SearchResponse] = {
+    val group = groupName.getOrElse(s"graft-search-${System.nanoTime()}")
+    val sc = spark.sparkContext
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
-    try {
-      val f = Future(search(req))
-      Right(Await.result(f, timeoutSecs.seconds))
-    } catch {
+    val f = Future {
+      sc.setJobGroup(group, "time-limited search", interruptOnCancel = true)
+      try search(req)
+      finally sc.clearJobGroup() // pooled thread: don't leak the group
+    }
+    try Right(Await.result(f, timeoutSecs.seconds))
+    catch {
       case _: java.util.concurrent.TimeoutException =>
-        spark.sparkContext.cancelJobGroup(group)
+        sc.cancelJobGroup(group) // kills the Future's in-flight Spark jobs
         Left(s"search exceeded $timeoutSecs s") // the reference's 504
-    } finally spark.sparkContext.clearJobGroup()
+    }
   }
 
   /** String facets: doc counts per label of each dimension over the
@@ -120,9 +140,13 @@ final class SearchEngine(val index: Index) {
 
   /** Range facets on a numeric/timestamp expression: [from, to) buckets
     * (reference: lower-inclusive upper-exclusive LongRange,
-    * Lucene.java:1292-1318). */
+    * Lucene.java:1292-1318). Single pass: one conditional-sum aggregate
+    * per range inside ONE aggregation over ONE scan of the match join —
+    * overlapping ranges double-count exactly as Lucene's per-range
+    * counters do, but without launching a Spark job per bucket. */
   def facetRanges(req: SearchRequest, field: String,
                   ranges: Seq[(String, Long, Long)]): Seq[(String, Long)] = {
+    if (ranges.isEmpty) return Nil
     val (q, filters) = plan(req)
     val m = exec.matches(q, filters).select("docId")
     val joined = index.corpus.join(m, "docId")
@@ -130,8 +154,12 @@ final class SearchEngine(val index: Index) {
       case "ts" => col("ts").cast("double") * 1000.0 // epoch ms
       case f    => col(f).cast("double")
     }
-    ranges.map { case (label, lo, hi) =>
-      label -> joined.filter(valueCol >= lo && valueCol < hi).count()
+    val aggs = ranges.map { case (_, lo, hi) =>
+      sum(when(valueCol >= lo && valueCol < hi, 1L).otherwise(0L))
+    }
+    val row = joined.agg(aggs.head, aggs.tail: _*).collect()(0)
+    ranges.zipWithIndex.map { case ((label, _, _), i) =>
+      label -> (if (row.isNullAt(i)) 0L else row.getLong(i))
     }
   }
 

@@ -109,27 +109,72 @@ final class NaiveOracle(docs: Seq[NaiveOracle.Doc]) {
     paged.take(k)
   }
 
-  /** Field-sorted top-k over matching docs. Sort fields: ts (epoch ms). */
+  /** Field-sorted top-k over matching docs, any corpus column as a sort
+    * key (reference: typed sortField doc values, SearchBucket.java:959-992)
+    * with optional keyset pagination over the same lexicographic
+    * (fields..., docId) key the engine uses. None/null sorts first on asc
+    * and last on desc, matching Spark's default null ordering. */
   def topKSorted(q: Query, filters: Seq[AttrPredicate],
-                 sort: Seq[(String, Boolean)], k: Int): Seq[(Long, Float)] = {
+                 sort: Seq[(String, Boolean)], k: Int,
+                 after: Option[AfterToken] = None): Seq[(Long, Float)] = {
     val hits = docs.flatMap { d =>
       if (!filters.forall(matchesAttr(_, d))) None
       else scoreDoc(q, d).map(s => (d, s))
     }
-    def key(d: Doc, f: String): Long = f match {
-      case "ts"       => d.tsMs
-      case "turn_idx" => d.turnIdx.toLong
-      case other      => sys.error(s"unsupported sort field $other")
+    // per-field compare with None as the smallest value (Spark: nulls
+    // first asc = nulls last desc = reverse of the same total order)
+    def cmpField(f: String, d1: Doc, d2: Doc): Int = f match {
+      case "ts"       => java.lang.Long.compare(d1.tsMs, d2.tsMs)
+      case "turn_idx" => Integer.compare(d1.turnIdx, d2.turnIdx)
+      case "role"     => d1.role.compareTo(d2.role)
+      case "conv_id"  => d1.convId.compareTo(d2.convId)
+      case "tool"     => (d1.tool, d2.tool) match {
+        case (None, None) => 0
+        case (None, _)    => -1
+        case (_, None)    => 1
+        case (Some(a), Some(b)) => a.compareTo(b)
+      }
+      case other => sys.error(s"unsupported sort field $other")
     }
     def lessThan(d1: Doc, d2: Doc): Boolean = {
       sort.foreach { case (f, asc) =>
-        val k1v = key(d1, f); val k2v = key(d2, f)
-        if (k1v != k2v) return if (asc) k1v < k2v else k1v > k2v
+        val c = cmpField(f, d1, d2)
+        if (c != 0) return if (asc) c < 0 else c > 0
       }
       d1.docId < d2.docId
     }
+    def fieldValue(d: Doc, f: String): Any = f match {
+      case "ts"       => d.tsMs
+      case "turn_idx" => d.turnIdx
+      case "role"     => d.role
+      case "conv_id"  => d.convId
+      case "tool"     => d.tool.orNull
+      case other      => sys.error(s"unsupported sort field $other")
+    }
+    // keyset: keep docs strictly after the token in the total order
+    def afterPred(d: Doc, a: AfterToken): Boolean = {
+      sort.zip(a.fields).foreach { case ((f, asc), av) =>
+        val dv = fieldValue(d, f)
+        val c = (dv, av) match {
+          case (x: Long, y: Long)     => java.lang.Long.compare(x, y)
+          case (x: Int, y: Int)       => Integer.compare(x, y)
+          case (x: Int, y: Long)      => java.lang.Long.compare(x.toLong, y)
+          case (x: String, y: String) => x.compareTo(y)
+          case (null, null)           => 0
+          case (null, _)              => -1
+          case (_, null)              => 1
+          case _ => sys.error(s"incomparable after value $av for $f")
+        }
+        if (c != 0) return if (asc) c > 0 else c < 0
+      }
+      d.docId > a.docId
+    }
     val sorted = hits.sortWith { case ((d1, _), (d2, _)) => lessThan(d1, d2) }
-    sorted.take(k).map { case (d, s) => (d.docId, s) }
+    val paged = after match {
+      case Some(a) => sorted.filter { case (d, _) => afterPred(d, a) }
+      case None    => sorted
+    }
+    paged.take(k).map { case (d, s) => (d.docId, s) }
   }
 }
 

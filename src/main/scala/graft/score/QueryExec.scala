@@ -238,9 +238,15 @@ final class QueryExec(val index: Index, val exact: Boolean = false) {
     } :+ col("docId").asc
     var res = joined
     after.foreach { a =>
-      // lexicographic keyset predicate over (sort fields..., docId)
+      // lexicographic keyset predicate over (sort fields..., docId).
+      // After-token values arrive in wire shape (timestamps as epoch-millis
+      // longs, Lucene.java:1544-1561 token encoding) — coerce each to its
+      // sort column's Catalyst type, or Spark 4 rejects e.g. a
+      // TIMESTAMP-vs-BIGINT comparison outright.
       val fieldCols = sort.fields.map { case (f, _) => col(f) }
-      val afterVals = a.fields.map(lit(_)) :+ lit(a.docId)
+      val afterVals = sort.fields.map(_._1).zip(a.fields).map { case (f, v) =>
+        coerceToColumnType(joined.schema(f).dataType, v)
+      } :+ lit(a.docId)
       val allCols = fieldCols :+ col("docId")
       val ascFlags = sort.fields.map(_._2) :+ true
       var pred: Column = lit(false)
@@ -254,5 +260,18 @@ final class QueryExec(val index: Index, val exact: Boolean = false) {
     }
     res.orderBy(sortCols: _*).limit(k)
       .select((Seq(col("docId"), col("score")) ++ sort.fields.map(f => col(f._1))): _*)
+  }
+
+  /** Coerce a wire-shaped after-token value to a sort column's type:
+    * timestamps travel as epoch-millis longs (the reference's token
+    * encoding), everything else casts directly. */
+  private def coerceToColumnType(dt: org.apache.spark.sql.types.DataType, v: Any): Column = {
+    import org.apache.spark.sql.types.TimestampType
+    (dt, v) match {
+      case (TimestampType, ms: Long)                => timestamp_millis(lit(ms))
+      case (TimestampType, ms: java.lang.Long)      => timestamp_millis(lit(ms.longValue()))
+      case (TimestampType, t: java.sql.Timestamp)   => lit(t)
+      case _                                        => lit(v).cast(dt)
+    }
   }
 }

@@ -82,6 +82,47 @@ class ApiSpec extends SparkSuite {
     assert(r.toOption.get.hits.nonEmpty)
   }
 
+  test("searchWithTimeout actually cancels the underlying Spark jobs") {
+    import org.apache.spark.sql.functions._
+    // a corpus whose scan sleeps per row: full scan ≥ (turns × 150ms)/4
+    // cores ≫ the 2 s budget, so without real cancellation the group's
+    // jobs would stay RUNNING long after the 504
+    val slow = udf { (_: Long) => Thread.sleep(150); true }
+    val slowIdx = engine.index.copy(corpus = engine.index.corpus.filter(slow(col("docId"))))
+    val slowEngine = new SearchEngine(slowIdx)
+    val group = "graft-test-cancel"
+    val t0 = System.nanoTime()
+    val r = slowEngine.searchWithTimeout(SearchRequest(maxResults = 3), 2, Some(group))
+    assert(r.isLeft, "slow search must time out")
+    val sc = spark.sparkContext
+    def groupRunning: Boolean = sc.statusTracker.getJobIdsForGroup(group)
+      .flatMap(id => sc.statusTracker.getJobInfo(id))
+      .exists(_.status() == org.apache.spark.JobExecutionStatus.RUNNING)
+    val deadline = System.currentTimeMillis() + 10000
+    while (groupRunning && System.currentTimeMillis() < deadline) Thread.sleep(100)
+    assert(!groupRunning, "cancelJobGroup must stop the timed-out query's jobs")
+    // the cancelled work never ran anywhere near to completion
+    assert((System.nanoTime() - t0) / 1e9 < 15.0)
+  }
+
+  test("facetRanges: single-pass counts match per-bucket filters incl. overlap") {
+    import org.apache.spark.sql.functions._
+    val ranges = Seq(
+      ("early", 0L, 1767225600000L + 3600000L),
+      ("all", 0L, Long.MaxValue / 2),
+      ("overlap", 1767225600000L, 1767225600000L + 7200000L))
+    val req = SearchRequest(text = Some("ambiguous"))
+    val got = engine.facetRanges(req, "ts", ranges).toMap
+    // naive per-bucket recount over the same matches
+    val (q, filters) = engine.plan(req)
+    val m = new QueryExec(engine.index).matches(q, filters).select("docId")
+    val joined = engine.index.corpus.join(m, "docId")
+      .select((col("ts").cast("double") * 1000.0).as("ms")).collect().map(_.getDouble(0))
+    ranges.foreach { case (label, lo, hi) =>
+      assert(got(label) === joined.count(v => v >= lo && v < hi).toLong, label)
+    }
+  }
+
   test("streaming batch transform emits the same postings as the batch builder") {
     import org.apache.spark.sql.functions._
     val turns = TranscriptGen.tiny(spark).toDF()

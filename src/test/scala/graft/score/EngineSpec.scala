@@ -98,6 +98,63 @@ class EngineSpec extends SparkSuite {
     assert(got === want)
   }
 
+  test("q09b ts-sorted search_after: pages concatenate to unpaginated prefix") {
+    // the token carries ts as epoch-millis (the wire shape) — the engine
+    // must coerce it back to the TIMESTAMP column type
+    val exec = new QueryExec(engine.index)
+    val sort = SortSpec(Seq(("ts", false)))
+    val q = parse("ambiguous")
+    def page(after: Option[AfterToken]): Seq[(Long, Long)] =
+      exec.topKSorted(q, Nil, sort, 5, after).collect()
+        .map(r => (r.getLong(0), r.getTimestamp(2).getTime)).toSeq
+    val p1 = page(None)
+    val tok1 = AfterToken(p1.last._1, None, Seq(p1.last._2))
+    val p2 = page(Some(tok1))
+    val tok2 = AfterToken(p2.last._1, None, Seq(p2.last._2))
+    val p3 = page(Some(tok2))
+    val full = oracle.topKSorted(q, Nil, Seq(("ts", false)), 15).map(_._1)
+    assert((p1 ++ p2 ++ p3).map(_._1) === full)
+    assert(oracle.topKSorted(q, Nil, Seq(("ts", false)), 5, Some(tok1)).map(_._1)
+      === p2.map(_._1))
+  }
+
+  test("q09c multi-field sort (role asc, ts desc) matches oracle incl. pagination") {
+    val exec = new QueryExec(engine.index)
+    val sortFields = Seq(("role", true), ("ts", false))
+    val sort = SortSpec(sortFields)
+    val got = exec.topKSorted(MatchAll, Nil, sort, 12).collect()
+    assert(got.map(_.getLong(0)).toSeq ===
+      oracle.topKSorted(MatchAll, Nil, sortFields, 12).map(_._1))
+    // page 2 via a token carrying (role, tsMs) of the last hit
+    val last = got.last
+    val tok = AfterToken(last.getLong(0), None,
+      Seq(last.getString(2), last.getTimestamp(3).getTime))
+    val p2 = exec.topKSorted(MatchAll, Nil, sort, 12, Some(tok))
+      .collect().map(_.getLong(0)).toSeq
+    assert(p2 === oracle.topKSorted(MatchAll, Nil, sortFields, 24).map(_._1).drop(12))
+  }
+
+  test("q09d arbitrary string sort fields (conv_id, turn_idx)") {
+    val exec = new QueryExec(engine.index)
+    val sortFields = Seq(("conv_id", false), ("turn_idx", true))
+    val got = exec.topKSorted(parse("ambiguous"), Nil, SortSpec(sortFields), 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === oracle.topKSorted(parse("ambiguous"), Nil, sortFields, 10).map(_._1))
+  }
+
+  test("search facade: multi-field sorted pages chain without dupes or skips") {
+    val req = SearchRequest(text = Some("ambiguous"),
+      sort = SortSpec(Seq(("role", true), ("ts", false))), maxResults = 6)
+    val r1 = engine.search(req)
+    val r2 = engine.search(req.copy(searchAfter = r1.searchAfter))
+    val gotIds = (r1.hits ++ r2.hits).map(_.docId)
+    val want = oracle.topKSorted(parse("ambiguous"), Nil,
+      Seq(("role", true), ("ts", false)), 12).map(_._1)
+    assert(gotIds === want)
+    // hits come back in engine order, not re-sorted by a subset of keys
+    assert(r1.hits.map(_.docId) === want.take(6))
+  }
+
   test("empty text = match-all scores 1.0") {
     val got = engineTopK(MatchAll, Nil, 5)
     assert(got.forall(_._2 === 1.0f))
