@@ -89,6 +89,20 @@ object Analyzers {
     }
   }
 
+  /** PathHierarchy analyzer (Lucene PathHierarchyTokenizer defaults —
+    * delimiter '/', case preserved): emits every cumulative path prefix,
+    * so an exact-match query for any ancestor path hits the document.
+    * Used for the reference's `location.exact` index-time view
+    * (reference: Lucene.java:441-442; query side is KeywordAnalyzer,
+    * DocumentMapping.java:133). */
+  object PathHierarchy extends TextAnalyzer {
+    val name = "path_hierarchy"
+    def apply(text: String): Analyzed = {
+      val toks = PathFields.hierarchyPrefixes(text)
+      Analyzed(toks, toks.length)
+    }
+  }
+
   /** Simple analyzer: lowercase, split on non-alphanumeric runs. Exactly
     * expressible in ANSI SQL (regexp_split_to_array(lower(text),
     * '[^a-z0-9]+')), used for the DuckDB-verified correctness gate. */
@@ -104,6 +118,7 @@ object Analyzers {
     case "icat"         => Icat
     case "icat_synonym" => IcatSynonym
     case "simple"       => Simple
+    case "path_hierarchy" => PathHierarchy
     case s if s.startsWith("sep_") => Separator(s.charAt(4))
     case other => throw new IllegalArgumentException(s"unknown analyzer: $other")
   }

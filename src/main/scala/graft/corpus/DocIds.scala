@@ -17,8 +17,16 @@ import org.apache.spark.sql.functions._
   *   2. count rows per partition, prefix-sum the counts on the driver
   *      (one long per partition), and assign ids per partition from the
   *      broadcast offsets.
-  * The resulting ids depend only on the total order, not on partition
-  * boundaries, so the assignment is deterministic at any parallelism.
+  *
+  * Ids are MINTED EXACTLY ONCE: the ranged input is materialized (cached)
+  * before the count pass so both passes see one fixed partition layout,
+  * and the id-assigned result is itself materialized before being
+  * returned. Partition ids are a runtime artifact — AQE may lay out the
+  * same logical plan differently across executions — so an id assignment
+  * recomputed per downstream query would not be stable. Minting once and
+  * serving every query from the materialized result (or the saved corpus
+  * parquet) is also what the reference does: Lucene assigns doc ids at
+  * index time, never as a recomputable view.
   */
 object DocIds {
 
@@ -31,37 +39,40 @@ object DocIds {
       .repartitionByRange(n, cols: _*)
       .sortWithinPartitions(cols: _*)
       .persist()
-    try {
-      val counts: Array[(Int, Long)] = parted.queryExecution.toRdd
-        .mapPartitionsWithIndex { (pid, it) =>
-          var c = 0L; while (it.hasNext) { it.next(); c += 1 }
-          Iterator.single((pid, c))
-        }
-        .collect()
-      val offsets = new Array[Long](counts.length + 1)
-      counts.sortBy(_._1).foreach { case (pid, c) => offsets(pid + 1) = c }
-      var i = 1
-      while (i < offsets.length) { offsets(i) += offsets(i - 1); i += 1 }
-      val bOffsets = spark.sparkContext.broadcast(offsets)
+    // materialize the cache FIRST: the count pass and the assignment pass
+    // must observe the same physical partition layout
+    parted.count()
+    val counts: Array[(Int, Long)] = parted.queryExecution.toRdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var c = 0L; while (it.hasNext) { it.next(); c += 1 }
+        Iterator.single((pid, c))
+      }
+      .collect()
+    val offsets = new Array[Long](counts.length + 1)
+    counts.sortBy(_._1).foreach { case (pid, c) => offsets(pid + 1) = c }
+    var i = 1
+    while (i < offsets.length) { offsets(i) += offsets(i - 1); i += 1 }
+    val bOffsets = spark.sparkContext.broadcast(offsets)
 
-      val outSchema = org.apache.spark.sql.types.StructType(
-        org.apache.spark.sql.types.StructField("docId", org.apache.spark.sql.types.LongType, nullable = false)
-          +: parted.schema.fields)
-      val enc = org.apache.spark.sql.Encoders.row(outSchema)
-      parted.mapPartitions { it =>
-        val pid = TaskContext.getPartitionId()
-        var next = bOffsets.value(pid)
-        it.map { row =>
-          val r = Row.fromSeq(next +: row.toSeq)
-          next += 1
-          r
-        }
-      }(enc)
-    } finally {
-      // lazily unpersisted by caller via .persist lifecycle; keep cached
-      // here because the mapPartitions pass re-reads the same partitions.
-      ()
-    }
+    val outSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("docId", org.apache.spark.sql.types.LongType, nullable = false)
+        +: parted.schema.fields)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val out = parted.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      var next = bOffsets.value(pid)
+      it.map { row =>
+        val r = Row.fromSeq(next +: row.toSeq)
+        next += 1
+        r
+      }
+    }(enc)
+      .persist()
+    // mint: every downstream plan reads these cached rows, never re-runs
+    // the pid-dependent assignment
+    out.count()
+    parted.unpersist()
+    out
   }
 
   /** Corpus helper: assign docIds to a turns dataset. */

@@ -171,6 +171,81 @@ object Gate {
       sql("""SELECT doc_id, round(tscore, 4) AS score FROM scores WHERE term = 'spark'
             |ORDER BY tscore DESC, doc_id LIMIT 10 OFFSET 10""".stripMargin)),
 
+    GateQuery("bm25_fielded",
+      // field-qualified keyword term inside a scored boolean: `role:en`
+      // contributes a constant 1.0 SHOULD clause next to the BM25 term
+      (s, d) => topKDf(s, d, "merge role:en", Nil, 20),
+      sql("""SELECT doc_id, round(score, 4) AS score FROM (
+            |  SELECT doc_id, sum(sc) AS score FROM (
+            |    SELECT doc_id, tscore AS sc FROM scores WHERE term = 'merge'
+            |    UNION ALL
+            |    SELECT doc_id, 1.0 AS sc FROM documents WHERE lang = 'en')
+            |  GROUP BY doc_id)
+            |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
+
+    GateQuery("bm25_fielded_must",
+      // fielded terms as MUST and MUST_NOT legs: +merge +role:en -tool:src0
+      (s, d) => topKDf(s, d, "+merge +role:en -tool:src0", Nil, 20),
+      sql("""SELECT s.doc_id, round(s.tscore + 1.0, 4) AS score
+            |FROM scores s JOIN documents d ON d.doc_id = s.doc_id
+            |WHERE s.term = 'merge' AND d.lang = 'en' AND d.source <> 'src0'
+            |ORDER BY score DESC, s.doc_id LIMIT 20""".stripMargin)),
+
+    GateQuery("range_value_double",
+      // double-range predicate (reference: SearchBucket.java:568-589),
+      // lower inclusive / upper exclusive, pushed to the parquet scan
+      (s, d) => events(s, d)
+        .filter(graft.score.Predicates.toColumn(
+          NumRange("value", 50.0, 150.0, loInc = true, hiInc = false)))
+        .select("event_id", "value")
+        .orderBy("event_id").limit(500),
+      Some("""SELECT event_id, value FROM events
+             |WHERE value >= 50.0 AND value < 150.0
+             |ORDER BY event_id LIMIT 500""".stripMargin)),
+
+    GateQuery("range_exact_or_enclosing",
+      // exact-or-enclosing-range numeric predicate (reference:
+      // SearchBucket.java:498-542): value == probe OR [bot, top] ∋ probe
+      (s, d) => {
+        val ev = events(s, d)
+          .withColumn("vbot", col("value") - 25.0)
+          .withColumn("vtop", col("value") + 25.0)
+        ev.filter(graft.score.Predicates.toColumn(
+            ExactOrEnclosing("value", "vbot", "vtop", 100.0)))
+          .select("event_id", "value")
+          .orderBy("event_id").limit(500)
+      },
+      Some("""SELECT event_id, value FROM events
+             |WHERE value = 100.0 OR (value - 25.0 <= 100.0 AND value + 25.0 >= 100.0)
+             |ORDER BY event_id LIMIT 500""".stripMargin)),
+
+    GateQuery("topk_sort_role",
+      // generalized typed field sort through the engine (role asc, ts
+      // desc, docId tiebreak); gate ts is monotone in doc_id
+      (s, d) => {
+        val (_, exec) = gate(s, d)
+        exec.topKSorted(MatchAll, Nil, SortSpec(Seq(("role", true), ("ts", false))), 20)
+          .select(col("docId").as("doc_id"), col("role"))
+      },
+      Some("""SELECT doc_id, lang AS role FROM documents
+             |ORDER BY lang, doc_id DESC LIMIT 20""".stripMargin)),
+
+    GateQuery("topk_sort_page2",
+      // keyset pagination through a multi-field sort: page 2 driven by the
+      // page-1 after-token (ts travels as epoch ms, the wire shape)
+      (s, d) => {
+        val (_, exec) = gate(s, d)
+        val sort = SortSpec(Seq(("role", true), ("ts", false)))
+        val p1 = exec.topKSorted(MatchAll, Nil, sort, 20).collect()
+        val last = p1.last
+        val tok = AfterToken(last.getLong(0), None,
+          Seq(last.getString(2), last.getTimestamp(3).getTime))
+        exec.topKSorted(MatchAll, Nil, sort, 20, Some(tok))
+          .select(col("docId").as("doc_id"), col("role"))
+      },
+      Some("""SELECT doc_id, lang AS role FROM documents
+             |ORDER BY lang, doc_id DESC LIMIT 20 OFFSET 20""".stripMargin)),
+
     GateQuery("wildcard_prefix",
       (s, d) => topKDf(s, d, "sc*n", Nil, 1000),
       sql("""SELECT DISTINCT doc_id, 1.0 AS score FROM post

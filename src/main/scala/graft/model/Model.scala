@@ -51,6 +51,15 @@ final case class WildcardQuery(pattern: String) extends Query {
   }
 }
 
+/** Keyword-field term from `field:value` query syntax: matches docs whose
+  * attribute column equals the value, constant score 1.0. The reference
+  * builds exact-field constraints as non-scoring Occur.FILTER term queries
+  * (SearchBucket.java:438-452); under a scoring boolean context we give
+  * the clause a constant 1.0 — the same convention as our wildcard
+  * (Lucene constant-score multi-term rewrite) — so `+role:user text`
+  * filters on role while `role:user text` boosts role matches by 1. */
+final case class FieldMatchQuery(field: String, value: String) extends Query
+
 /** Boolean combination; scores = sum of matching must+should clause
   * scores; filter and mustNot contribute nothing to the score. */
 final case class BoolQuery(
@@ -68,35 +77,70 @@ final case class FieldIn(field: String, values: Seq[String]) extends AttrPredica
 /** Inclusive epoch-millis range on ts. */
 final case class TsRange(lowerMs: Long, upperMs: Long) extends AttrPredicate
 
+/** Double range on a numeric field, bounds inclusive by flag (reference:
+  * DoublePoint.newRangeQuery builds, SearchBucket.java:568-589; both
+  * bounds inclusive there, half-open when a bound is a MIN/MAX sentinel). */
+final case class NumRange(field: String, lo: Double, hi: Double,
+                          loInc: Boolean = true, hiInc: Boolean = true) extends AttrPredicate
+
+/** Exact-value-or-enclosing-range numeric predicate (reference:
+  * SearchBucket.java:498-542 — a parameter matches when its exact
+  * numericValue equals the probe OR its [rangeBottom, rangeTop] interval
+  * encloses the probe). */
+final case class ExactOrEnclosing(exactField: String, bottomField: String,
+                                  topField: String, value: Double) extends AttrPredicate
+
 object QueryText {
+
+  /** Attribute columns addressable as `field:value` in query strings. */
+  val KeywordFields: Set[String] = Set("role", "tool", "conv_id")
 
   /** Mini query-string parser covering the reference surface required by
     * the north rule: bare terms (default OR), `+term` (MUST), `-term`
-    * (MUST_NOT) — phrase-free (reference default-OR parser configured at
-    * DocumentMapping.java:120-146, SearchBucket occurs throughout).
-    * Each word is analyzed; a word that analyzes to several tokens
-    * (synonym expansion) becomes a SHOULD group at that position. */
-  def parse(text: String, analyze: String => Array[String]): Query = {
+    * (MUST_NOT), `field:value` qualified terms — phrase-free (reference
+    * default-OR StandardQueryParser configured at
+    * DocumentMapping.java:120-146; field syntax parsed there too).
+    * `text:word` targets the analyzed default field explicitly; a keyword
+    * field (`role:`, `tool:`, `conv_id:`) becomes a FieldMatchQuery;
+    * an unknown prefix is NOT treated as a field — the whole word is
+    * analyzed as text (matching the parser's default-field fallback).
+    * Each analyzed word that yields several tokens (synonym expansion)
+    * becomes a SHOULD group at that position. */
+  def parse(text: String, analyze: String => Array[String],
+            keywordFields: Set[String] = KeywordFields): Query = {
     val words = text.trim.split("\\s+").filter(_.nonEmpty)
     var must = List.empty[Query]
     var should = List.empty[Query]
     var mustNot = List.empty[Query]
     words.foreach { w =>
-      val (occ, body) =
+      val (occ, rawBody) =
         if (w.startsWith("+")) ('+', w.substring(1))
         else if (w.startsWith("-")) ('-', w.substring(1))
         else (' ', w)
-      val isWildcard = body.exists(c => c == '*' || c == '?')
-      val terms = if (isWildcard) Array(body) else analyze(body)
-      if (terms.nonEmpty) {
-        val node: Query =
-          if (isWildcard) WildcardQuery(body)
-          else if (terms.length == 1) TermQuery(terms(0))
-          else BoolQuery(should = terms.toSeq.map(TermQuery(_)))
+      // field-qualified? strip a `text:` prefix; keyword fields match raw
+      val colon = rawBody.indexOf(':')
+      val (fieldOpt, body) =
+        if (colon > 0 && colon < rawBody.length - 1) {
+          val f = rawBody.substring(0, colon)
+          if (keywordFields.contains(f)) (Some(f), rawBody.substring(colon + 1))
+          else if (f == "text") (None, rawBody.substring(colon + 1))
+          else (None, rawBody)
+        } else (None, rawBody)
+      val node: Option[Query] = fieldOpt match {
+        case Some(f) => Some(FieldMatchQuery(f, body))
+        case None =>
+          val isWildcard = body.exists(c => c == '*' || c == '?')
+          val terms = if (isWildcard) Array(body) else analyze(body)
+          if (terms.isEmpty) None
+          else if (isWildcard) Some(WildcardQuery(body))
+          else if (terms.length == 1) Some(TermQuery(terms(0)))
+          else Some(BoolQuery(should = terms.toSeq.map(TermQuery(_))))
+      }
+      node.foreach { n =>
         occ match {
-          case '+' => must ::= node
-          case '-' => mustNot ::= node
-          case _   => should ::= node
+          case '+' => must ::= n
+          case '-' => mustNot ::= n
+          case _   => should ::= n
         }
       }
     }

@@ -62,6 +62,14 @@ final class NaiveOracle(docs: Seq[NaiveOracle.Doc]) {
     case w: WildcardQuery =>
       val re = w.regex.r
       if (d.terms.exists(t => re.findFirstIn(t).isDefined)) Some(1.0f) else None
+    case FieldMatchQuery(f, v) =>
+      val m = f match {
+        case "role"    => d.role == v
+        case "tool"    => d.tool.contains(v)
+        case "conv_id" => d.convId == v
+        case other     => sys.error(s"unknown keyword field $other")
+      }
+      if (m) Some(1.0f) else None
     case BoolQuery(must, should, mustNot, filter) =>
       if (!filter.forall(matchesAttr(_, d))) return None
       if (mustNot.exists(scoreDoc(_, d).isDefined)) return None
@@ -89,6 +97,14 @@ final class NaiveOracle(docs: Seq[NaiveOracle.Doc]) {
     case FieldIn("conv_id", vs) => vs.contains(d.convId)
     case FieldIn(f, _)          => sys.error(s"unknown field $f")
     case TsRange(lo, hi)        => d.tsMs >= lo && d.tsMs <= hi
+    case NumRange(f, lo, hi, loInc, hiInc) =>
+      val v: Double = f match {
+        case "turn_idx" => d.turnIdx.toDouble
+        case "ts"       => d.tsMs.toDouble
+        case other      => sys.error(s"unknown numeric field $other")
+      }
+      (if (loInc) v >= lo else v > lo) && (if (hiInc) v <= hi else v < hi)
+    case p: ExactOrEnclosing => sys.error(s"no range fields in transcript corpus: $p")
   }
 
   /** Full-scan top-k: score every doc, sort (score desc, docId asc),

@@ -61,14 +61,21 @@ final class QueryExec(val index: Index, val exact: Boolean = false) {
     else None
   }
 
-  private def attrCondition(filters: Seq[AttrPredicate]): Option[Column] = {
-    val conds = filters.map {
-      case FieldEquals(f, v) => col(f) === lit(v)
-      case FieldIn(f, vs)    => if (vs.isEmpty) lit(false) else col(f).isin(vs: _*)
-      case TsRange(lo, hi)   =>
-        col("ts") >= lit(new java.sql.Timestamp(lo)) && col("ts") <= lit(new java.sql.Timestamp(hi))
+  /** Apply FILTER predicates to a scan: predicates whose columns the scan
+    * carries become pushed-down filter expressions; the rest (e.g. a
+    * numeric predicate on a corpus-only column while scanning postings)
+    * route through a semi-join against the filtered corpus. */
+  private def applyFilters(scan: DataFrame, filters: Seq[AttrPredicate]): DataFrame = {
+    if (filters.isEmpty) return scan
+    val avail = scan.columns.toSet
+    val (local, viaCorpus) =
+      filters.partition(p => Predicates.columns(p).forall(avail.contains))
+    var out = scan
+    Predicates.condition(local).foreach(c => out = out.filter(c))
+    Predicates.condition(viaCorpus).foreach { c =>
+      out = out.join(index.corpus.filter(c).select("docId"), Seq("docId"), "left_semi")
     }
-    conds.reduceOption(_ && _)
+    out
   }
 
   /** Broadcast frame of (term, groupId, weightF) for the query's terms.
@@ -94,8 +101,13 @@ final class QueryExec(val index: Index, val exact: Boolean = false) {
       if (exact) spark.emptyDataset[(Long, Double)].toDF("docId", "score")
       else spark.emptyDataset[(Long, Float)].toDF("docId", "score")
     case MatchAll =>
-      val base = attrCondition(filters).map(index.corpus.filter).getOrElse(index.corpus)
-      base.select(col("docId"), one.as("score"))
+      applyFilters(index.corpus, filters).select(col("docId"), one.as("score"))
+    case FieldMatchQuery(f, v) =>
+      // keyword-field term: constant score 1.0 over docs whose attribute
+      // equals the value (reference exact-field semantics,
+      // SearchBucket.java:438-452; constant score as with wildcards)
+      applyFilters(index.corpus.filter(col(f) === lit(v)), filters)
+        .select(col("docId"), one.as("score"))
     case TermQuery(t) =>
       matches(BoolQuery(should = Seq(TermQuery(t))), filters)
     case w: WildcardQuery =>
@@ -104,8 +116,7 @@ final class QueryExec(val index: Index, val exact: Boolean = false) {
       // distributed (semi-join postings ⟕ matched terms).
       val matched = index.termStats
         .filter(col("term").rlike(w.regex)).select("term")
-      var scan = index.postings.join(matched, "term")
-      attrCondition(filters).foreach(c => scan = scan.filter(c))
+      val scan = applyFilters(index.postings.join(matched, "term"), filters)
       scan.select(col("docId")).distinct()
         .withColumn("score", one)
     case bq: BoolQuery =>
@@ -130,12 +141,12 @@ final class QueryExec(val index: Index, val exact: Boolean = false) {
     val nMust = f.mustGroups.size
 
     val allTerms = termGroups.map(_._1).distinct
-    var scan = index.postings.filter(col("term").isin(allTerms: _*))
     // non-scoring FILTER legs: pushed-down predicates on the denormalized
     // attribute columns — but MUST_NOT terms must still be observed on
     // excluded-attribute rows? No: a doc failing the attr filter can never
     // match, and MUST_NOT only removes docs — filtering first is sound.
-    attrCondition(filters).foreach(c => scan = scan.filter(c))
+    val scan = applyFilters(
+      index.postings.filter(col("term").isin(allTerms: _*)), filters)
 
     val scored = scan
       .join(broadcast(weights), "term")

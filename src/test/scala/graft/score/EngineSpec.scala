@@ -73,6 +73,21 @@ class EngineSpec extends SparkSuite {
     checkParity("ambiguous", Seq(TsRange(lo, hi)))
   }
   test("q10 hot zipf terms") { checkParity("w0000 w0001", k = 100) }
+  test("q11 fielded keyword SHOULD boosts") { checkParity("needle_3 role:assistant", k = 20) }
+  test("q12 fielded keyword MUST filters") { checkParity("+ambiguous +role:user", k = 20) }
+  test("q13 fielded keyword MUST_NOT excludes") { checkParity("ambiguous -tool:bash", k = 20) }
+  test("q14 text: prefix targets the default field") { checkParity("text:needle_3") }
+  test("q15 unknown prefix falls back to text analysis") {
+    // `foo:bar` with unknown field `foo` analyzes the whole word
+    val got = parse("foo:bar")
+    val want = parse("foo:bar") // determinism; and engine/oracle agree
+    assert(got === want)
+    checkParity("foo:bar", k = 5)
+  }
+  test("q16 numeric range filter (turn_idx)") {
+    checkParity("ambiguous", Seq(NumRange("turn_idx", 1.0, 3.0)), k = 30)
+    checkParity("ambiguous", Seq(NumRange("turn_idx", 1.0, 3.0, loInc = false, hiInc = false)), k = 30)
+  }
   test("wildcard prefix (constant score)") { checkParity("needle_*", k = 50) }
   test("wildcard ? and case-lowering") { checkParity("NEEDLE_?", k = 50) }
   test("wildcard mixed with scored term") { checkParity("rare_00* hydrogen", k = 30) }
