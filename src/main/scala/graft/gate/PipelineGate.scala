@@ -1,6 +1,6 @@
 package graft.gate
 
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{AnnIndex, Dedup, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -15,6 +15,17 @@ object PipelineGate {
     s.read.parquet(s"$d/documents.parquet")
   private def embeddings(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"$d/embeddings.parquet")
+
+  /** Build the materialized ANN indexes once per sf dir (the build step
+    * of an indexed ANN deployment; probes then prune to their buckets). */
+  private val annCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def annDir(s: SparkSession, d: String): String =
+    annCache.getOrElseUpdate(d, {
+      val dir = java.nio.file.Files.createTempDirectory("graft-ann").toString
+      AnnIndex.buildLsh(embeddings(s, d), dir)
+      AnnIndex.buildIvf(embeddings(s, d), dir)
+      dir
+    })
 
   /** Shared shingle CTE for dedup oracles (5-gram over simple tokens). */
   private val shingleCte =
@@ -112,23 +123,25 @@ object PipelineGate {
              |ORDER BY list_cosine_similarity(embedding::DOUBLE[], q.e) DESC, vec_id
              |LIMIT 10""".stripMargin)),
 
-    // rows-only: recall vs brute force checked in PipelineSpec
+    // rows-only: recall vs brute force + bucket pruning checked in
+    // PipelineSpec; the gate probes the MATERIALIZED bucket index
     GateQuery("ann_lsh",
       (s, d) => {
         val emb = embeddings(s, d)
         val q = emb.filter(col("vec_id") === 0)
           .select("embedding").head().getSeq[Float](0).toArray
-        Similarity.lshTopK(emb, q, 10, excludeId = Some(0L))
+        AnnIndex.lshTopK(s, annDir(s, d), q, 10, excludeId = Some(0L))
       },
       None),
 
-    // rows-only: IVF recall vs brute force checked in PipelineSpec
+    // rows-only: IVF recall vs brute force + cell pruning checked in
+    // PipelineSpec; probes the materialized cell index
     GateQuery("ann_ivf",
       (s, d) => {
         val emb = embeddings(s, d)
         val q = emb.filter(col("vec_id") === 0)
           .select("embedding").head().getSeq[Float](0).toArray
-        Similarity.ivfTopK(emb, q, 10, excludeId = Some(0L))
+        AnnIndex.ivfTopK(s, annDir(s, d), q, 10, excludeId = Some(0L))
       },
       None),
 

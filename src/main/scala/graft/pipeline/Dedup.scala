@@ -31,10 +31,15 @@ object Dedup {
     filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
 
   /** Exact dedup: one row per distinct text with the kept (min) id and the
-    * duplicate count. Hash-groupBy — partial aggregation makes this one
-    * shuffle of (groupKey, partialMin/Count). */
+    * duplicate count. Groups by (xxhash64(text), length(text)) — NOT the
+    * text itself: at corpus scale the group key is what gets shuffled, and
+    * shuffling full document bodies as key bytes would move the whole
+    * corpus; the 64-bit-hash+length composite shuffles 12 bytes per row.
+    * A collision needs equal xxhash64 AND equal length on different texts
+    * (~2^-64 per candidate pair); collision-paranoid callers can verify
+    * the survivors' texts — a second pass over only `keep_id` rows. */
   def exact(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    df.groupBy(col(textCol))
+    df.groupBy(xxhash64(col(textCol)), length(col(textCol)))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
       .select("keep_id", "dup_count")
 
@@ -52,16 +57,34 @@ object Dedup {
 
   /** Exact n-gram Jaccard near-dup pairs: inverted-index self-join on the
     * shingle (the blocking key), count common shingles per pair, then
-    * jaccard = common / (|A| + |B| - common). Only pairs sharing at least
-    * one shingle are ever materialized. */
+    * jaccard = common / (|A| + |B| - common).
+    *
+    * Skew guard: candidate pairs are generated only from shingles with
+    * document frequency ≤ `hotShingleDfCap`. A boilerplate shingle shared
+    * by d documents otherwise yields d² candidate rows — quadratic in the
+    * hottest key at corpus scale. Capped blocking stays sub-quadratic;
+    * the Jaccard itself is still computed over ALL shingles of each
+    * candidate pair (equi-join on (doc, shingle) — no blowup), so scores
+    * are exact. A qualifying pair is missed only if EVERY shared shingle
+    * is hot — at jaccard ≥ threshold that needs the pair's whole shared
+    * content to be corpus boilerplate. */
   def ngramJaccardPairs(df: DataFrame, n: Int, threshold: Double,
-                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = shingles(df, n, idCol, textCol)
+                        idCol: String = "doc_id", textCol: String = "text",
+                        hotShingleDfCap: Long = 128L): DataFrame = {
+    val sh = shingles(df, n, idCol, textCol).persist()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    val a = sh.toDF("ida", "shingle")
-    val b = sh.toDF("idb", "shingle")
-    val common = a.join(b, "shingle")
+    val rareShingles = sh.groupBy("shingle").agg(count(lit(1)).as("sdf"))
+      .filter(col("sdf") <= hotShingleDfCap).select("shingle")
+    val rare = sh.join(rareShingles, "shingle")
+    val candidates = rare.select(col("id").as("ida"), col("shingle"))
+      .join(rare.select(col("id").as("idb"), col("shingle")), "shingle")
       .where(col("ida") < col("idb"))
+      .select("ida", "idb").distinct()
+    val withA = candidates
+      .join(sh.select(col("id").as("ida"), col("shingle").as("ga")), "ida")
+    val shB = sh.select(col("id").as("idbr"), col("shingle").as("gb"))
+    val common = withA
+      .join(shB, withA("idb") === shB("idbr") && col("ga") === col("gb"))
       .groupBy("ida", "idb").agg(count(lit(1)).as("common"))
     common
       .join(sizes.toDF("ida", "sza"), "ida")

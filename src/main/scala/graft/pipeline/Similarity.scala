@@ -124,6 +124,10 @@ object Similarity {
     cents
   }
 
+  /** Index of the nearest centroid (squared-L2). */
+  def nearestCentroidOf(v: Array[Double], cents: Array[Array[Double]]): Int =
+    nearestCentroid(v, cents)
+
   private def nearestCentroid(v: Array[Double], cents: Array[Array[Double]]): Int = {
     var best = 0
     var bestD = Double.MaxValue

@@ -53,6 +53,81 @@ class PipelineSpec extends SparkSuite {
     assert((brute intersect ivf).size >= 3, s"ivf overlap ${(brute intersect ivf).size}")
   }
 
+  test("materialized LSH index: probe prunes partitions and matches the scan-based result") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-test").toString
+    AnnIndex.buildLsh(emb, dir)
+    val q = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    // I/O pruning: the probe touches strictly fewer parquet files than the
+    // whole bucket table holds
+    val allFiles = spark.read.parquet(s"$dir/lsh_buckets")
+      .select(input_file_name()).distinct().count()
+    val probedFiles = AnnIndex.lshProbeScan(spark, dir, q)
+      .select(input_file_name()).distinct().count()
+    assert(probedFiles < allFiles, s"probe read $probedFiles of $allFiles files")
+    // the bucket predicate lands in the scan's PartitionFilters
+    val plan = AnnIndex.lshProbeScan(spark, dir, q).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("band"), plan.take(500))
+    // result parity with the per-query scan implementation
+    val idxTop = AnnIndex.lshTopK(spark, dir, q, 10, excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val scanTop = Similarity.lshTopK(emb, q, 10, excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(idxTop === scanTop)
+  }
+
+  test("materialized IVF index: probe prunes cells and recovers brute-force top-k") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-test").toString
+    AnnIndex.buildIvf(emb, dir)
+    val q = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val allFiles = spark.read.parquet(s"$dir/ivf_cells")
+      .select(input_file_name()).distinct().count()
+    val probedFiles = AnnIndex.ivfProbeScan(spark, dir, q, nProbe = 4)
+      .select(input_file_name()).distinct().count()
+    assert(probedFiles < allFiles, s"probe read $probedFiles of $allFiles files")
+    val plan = AnnIndex.ivfProbeScan(spark, dir, q).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"), plan.take(500))
+    val brute = Similarity.bruteForceTopK(emb, q, 10, excludeId = Some(0L))
+      .collect().map(_.getLong(0)).toSet
+    val ivf = AnnIndex.ivfTopK(spark, dir, q, 10, excludeId = Some(0L))
+      .collect().map(_.getLong(0)).toSet
+    assert((brute intersect ivf).size >= 3, s"ivf overlap ${(brute intersect ivf).size}")
+  }
+
+  test("hot-shingle df cap keeps exact pairs at gate scale and bounds blocking") {
+    // cap far above this corpus's max shingle df (3): identical results
+    val uncapped = Dedup.ngramJaccardPairs(docs, 5, 0.8, hotShingleDfCap = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val capped = Dedup.ngramJaccardPairs(docs, 5, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(capped === uncapped)
+    assert(capped.nonEmpty)
+    // tiny cap on a boilerplate-heavy corpus: candidates shrink, scores
+    // for surviving pairs stay exact
+    import spark.implicits._
+    val boiler = (0L to 19L).map(i =>
+      (i, s"common boiler plate header shared by all docs unique_$i tail token stream ${i % 2}"))
+      .toDF("doc_id", "text")
+    val strict = Dedup.ngramJaccardPairs(boiler, 3, 0.1, hotShingleDfCap = 1L).collect()
+    val loose = Dedup.ngramJaccardPairs(boiler, 3, 0.1, hotShingleDfCap = Long.MaxValue)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    strict.foreach { r =>
+      assert(loose((r.getLong(0), r.getLong(1))) === r.getDouble(2))
+    }
+    assert(strict.length <= loose.size)
+  }
+
+  test("exact dedup by hash key equals dedup by full text") {
+    val byHash = Dedup.exact(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val byText = docs.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
+      .select("keep_id", "dup_count").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(byHash === byText)
+  }
+
   test("char-ngram language ID classifies real sentences") {
     import spark.implicits._
     val df = Seq(
