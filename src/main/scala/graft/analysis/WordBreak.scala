@@ -26,8 +26,11 @@ object WordBreak {
   @inline private def isNum(c: Char): Boolean = Character.isDigit(c)
   @inline private def isExtendNumLet(c: Char): Boolean =
     c == '_' || Character.getType(c) == Character.CONNECTOR_PUNCTUATION
+  // NOTE: ASCII ':' is NOT MidLetter — Unicode removed it in 6.1 and
+  // Lucene 8.11's StandardTokenizer splits `foo:bar` into two tokens;
+  // U+0387 (Greek ano teleia) IS MidLetter.
   @inline private def isMidLetter(c: Char): Boolean =
-    c == ':' || c == '·' || c == '‧' || c == '״'
+    c == '\u00B7' || c == '\u0387' || c == '\u2027' || c == '\u05F4'
   @inline private def isMidNum(c: Char): Boolean = c == ',' || c == ';'
   @inline private def isMidNumLet(c: Char): Boolean =
     c == '.' || c == '\'' || c == '’' || c == '‘' || c == 'ʼ' || c == '＇'

@@ -107,8 +107,24 @@ object PipelineGate {
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     GateQuery("fingerprint",
+      // FNV-1a64 over the space-joined normalized tokens; DuckDB replays
+      // the 64-bit wraparound arithmetic via HUGEINT mod 2^64
       (s, d) => TextAnalysis.fingerprint(docs(s, d)).orderBy("doc_id"),
-      None),
+      Some("""WITH w AS (
+             |  SELECT doc_id, array_to_string(
+             |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> ''), ' ') AS s
+             |  FROM documents)
+             |SELECT doc_id, CAST(
+             |  CASE WHEN fp >= 9223372036854775808::HUGEINT
+             |       THEN fp - 18446744073709551616::HUGEINT ELSE fp END AS BIGINT) AS fingerprint
+             |FROM (
+             |  SELECT doc_id, list_reduce(
+             |    list_prepend(14695981039346656037::HUGEINT,
+             |      list_transform(generate_series(1, length(s)), i -> ascii(substr(s, i, 1))::HUGEINT)),
+             |    (acc, x) -> (xor(acc::UBIGINT, x::UBIGINT)::HUGEINT * 1099511628211::HUGEINT)
+             |                % 18446744073709551616::HUGEINT) AS fp
+             |  FROM w)
+             |ORDER BY doc_id""".stripMargin)),
 
     GateQuery("ann_cosine",
       (s, d) => {
@@ -163,6 +179,11 @@ object PipelineGate {
     GateQuery("multimodal_frames",
       (s, d) => Multimodal.sampleFrames(Multimodal.asMedia(docs(s, d)))
         .orderBy("doc_id", "frame_idx"),
-      None)
+      Some("""SELECT doc_id, CAST(i // 64 AS INT) AS frame_idx,
+             |  ascii(substr(text, CAST(i AS INT) + 1, 1)) AS frame_sig
+             |FROM (SELECT doc_id, text,
+             |        unnest(generate_series(0, octet_length(encode(text)) - 1, 64)) AS i
+             |      FROM documents)
+             |ORDER BY doc_id, frame_idx""".stripMargin))
   )
 }

@@ -16,9 +16,12 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *
   * The per-batch transform is the same narrow (shuffle-free) pipeline as
   * the batch IndexBuilder, so the streaming path inherits its scale
-  * behavior. docIds in the streaming path are (convHash << 8 | turn_idx)
-  * surrogates — dense re-assignment is a batch-compaction concern, as in
-  * the reference where ids come from the upstream entity store.
+  * behavior. Streaming docIds are xxhash64(conv_id, turn_idx) surrogates
+  * over the FULL key pair — no bit-packing, so a conversation of any
+  * length cannot bleed into another's id space; the natural key columns
+  * ride along so batch compaction can re-densify ids (and detect the
+  * ~2^-64-per-pair hash collisions) exactly as the reference re-keys from
+  * the upstream entity store.
   */
 object StreamingIndex {
 
@@ -32,10 +35,10 @@ object StreamingIndex {
     })
     val normUdf = udf((p: Int) => SmallFloat.intToByte4(p))
     turns
-      .withColumn("docId",
-        shiftleft(abs(xxhash64(col("conv_id"))), 8) + col("turn_idx").cast("long"))
+      .withColumn("docId", xxhash64(col("conv_id"), col("turn_idx")))
       .withColumn("a", analyzeUdf(col("text")))
-      .select(col("docId"), normUdf(col("a._2")).as("norm"),
+      .select(col("docId"), col("conv_id"), col("turn_idx"),
+        normUdf(col("a._2")).as("norm"),
         explode(col("a._1")).as(Seq("term", "tf")),
         col("role"), col("tool"), col("ts"))
       .withColumn("tf", col("tf").cast("int"))

@@ -45,6 +45,15 @@ class AnalyzerSpec extends AnyFunSuite {
       Seq("needle_3", "foo_bar", "a", "3", "or", "2"))
   }
 
+  test("tokenizer: ASCII colon splits (UAX#29 ≥ 6.1, Lucene 8.11), U+0387 joins") {
+    // key:value / code-ish text must tokenize like the reference or
+    // df/tf/norms diverge on realistic transcripts
+    assert(WordBreak.tokenize("foo:bar key:value x:1").toSeq ===
+      Seq("foo", "bar", "key", "value", "x", "1"))
+    // Greek ano teleia is a real MidLetter: flanked letters stay joined
+    assert(WordBreak.tokenize("\u03b1\u0387\u03b2").toSeq === Seq("\u03b1\u0387\u03b2"))
+  }
+
   test("separator analyzer: path and filename tokenization (IcatSeparatorAnalyzer.java:13-26)") {
     assert(Analyzers.Separator('/')("/Path/To/Data/File.TXT").terms.toSeq ===
       Seq("path", "to", "data", "file.txt"))

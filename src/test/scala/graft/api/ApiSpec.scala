@@ -123,6 +123,24 @@ class ApiSpec extends SparkSuite {
     }
   }
 
+  test("streaming surrogate docIds survive >256-turn conversations without collision") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ts = new java.sql.Timestamp(1767225600000L)
+    // conv "a" with 300 turns (incl. turn_idx 300-adjacent range) + a
+    // second conversation: packed (hash<<8 | turn) schemes bleed here
+    val turns = ((0 until 300).map(i => ("conva", i, "user", s"text $i", None: Option[String], ts)) ++
+      (0 until 5).map(i => ("convb", i, "user", s"other $i", None: Option[String], ts)))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val postings = graft.streaming.StreamingIndex.postingsFor(turns, Analyzers.Icat)
+    val perDoc = postings.select("docId", "conv_id", "turn_idx").distinct()
+    assert(perDoc.count() === 305L)
+    assert(perDoc.select("docId").distinct().count() === 305L,
+      "docId must be unique per (conv_id, turn_idx)")
+    // key columns ride along for compaction re-keying
+    assert(postings.columns.contains("conv_id") && postings.columns.contains("turn_idx"))
+  }
+
   test("streaming batch transform emits the same postings as the batch builder") {
     import org.apache.spark.sql.functions._
     val turns = TranscriptGen.tiny(spark).toDF()
