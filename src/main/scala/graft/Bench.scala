@@ -84,8 +84,10 @@ object Bench {
       def oneBuild(dir: String, withCorpus: Boolean = false): Double = {
         val (_, secs) = time {
           val corpus = DocIds.forTurns(turns)
-          val idx = IndexBuilder.build(corpus, Analyzers.Icat)
-          IndexBuilder.save(idx, dir, hotDfThreshold = 10000L, writeCorpus = withCorpus)
+          // at-scale path: analyze → one salted shuffle → sorted parquet,
+          // stats from the written table; no posting-row cache
+          IndexBuilder.buildAndSave(corpus, Analyzers.Icat, dir,
+            hotDfThreshold = 10000L, writeCorpus = withCorpus)
         }
         // drop all build caches so the next run starts clean (GC fairness)
         spark.catalog.clearCache()

@@ -55,33 +55,11 @@ object IndexBuilder {
     * assembled on one task, and to the sorted save layout below.
     */
   def build(corpusWithIds: DataFrame, analyzer: TextAnalyzer): Index = {
-    val spark = corpusWithIds.sparkSession
-    val analyzeUdf = udf((s: String) => {
-      val a = analyzer(if (s == null) "" else s)
-      val counts = new java.util.LinkedHashMap[String, Int]()
-      var i = 0
-      while (i < a.terms.length) {
-        val t = a.terms(i)
-        counts.put(t, counts.getOrDefault(t, 0) + 1)
-        i += 1
-      }
-      (scala.jdk.CollectionConverters.MapHasAsScala(counts).asScala.toMap, a.positions)
-    })
-    val normUdf = udf((positions: Int) => SmallFloat.intToByte4(positions))
-
-    val hasAttrs = Seq("role", "tool", "ts").forall(corpusWithIds.columns.contains)
-    val attrCols = if (hasAttrs) Seq(col("role"), col("tool"), col("ts")) else Nil
-
-    val analyzed = corpusWithIds
-      .select(Seq(col("docId"), analyzeUdf(col("text")).as("a")) ++ attrCols: _*)
-      .select(Seq(col("docId"), col("a._1").as("tfs"), normUdf(col("a._2")).as("norm")) ++ attrCols: _*)
-
     // persist: stats, termStats, save and every query reuse this table —
-    // without it the analyze DAG re-runs per downstream action
-    val postings = analyzed
-      .select(Seq(col("docId"), col("norm"), explode(col("tfs")).as(Seq("term", "tf")))
-        ++ attrCols: _*)
-      .withColumn("tf", col("tf").cast("int"))
+    // without it the analyze DAG re-runs per downstream action. (For
+    // at-scale builds use buildAndSave, which streams postings to storage
+    // instead of caching them.)
+    val postings = analyzedPostings(corpusWithIds, analyzer)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val termStats = postings
@@ -99,6 +77,89 @@ object IndexBuilder {
       .collect()(0)
     if (row.isNullAt(0) || row.isNullAt(1)) CorpusStats(0L, 0L)
     else CorpusStats(row.getLong(0), row.getLong(1))
+  }
+
+  /** Analyzed narrow projection: one finished posting row per (doc, term)
+    * — per-doc tf counted inside the projection, no shuffle. */
+  private[graft] def analyzedPostings(corpusWithIds: DataFrame,
+                                      analyzer: TextAnalyzer): DataFrame = {
+    val analyzeUdf = udf((s: String) => {
+      val a = analyzer(if (s == null) "" else s)
+      val counts = new java.util.LinkedHashMap[String, Int]()
+      var i = 0
+      while (i < a.terms.length) {
+        val t = a.terms(i)
+        counts.put(t, counts.getOrDefault(t, 0) + 1)
+        i += 1
+      }
+      (scala.jdk.CollectionConverters.MapHasAsScala(counts).asScala.toMap, a.positions)
+    })
+    val normUdf = udf((positions: Int) => SmallFloat.intToByte4(positions))
+    val hasAttrs = Seq("role", "tool", "ts").forall(corpusWithIds.columns.contains)
+    val attrCols = if (hasAttrs) Seq(col("role"), col("tool"), col("ts")) else Nil
+    corpusWithIds
+      .select(Seq(col("docId"), analyzeUdf(col("text")).as("a")) ++ attrCols: _*)
+      .select(Seq(col("docId"), col("a._1").as("tfs"), normUdf(col("a._2")).as("norm")) ++ attrCols: _*)
+      .select(Seq(col("docId"), col("norm"), explode(col("tfs")).as(Seq("term", "tf")))
+        ++ attrCols: _*)
+      .withColumn("tf", col("tf").cast("int"))
+  }
+
+  /** At-scale build: analyze → ONE salted shuffle → sorted parquet write,
+    * then stats from the written table. Unlike build()+save(), this never
+    * materializes the exploded posting rows into a deserialized cache —
+    * at 100 TB you cannot hold the postings of a build in executor
+    * memory, and even locally the cache write is the non-scaling step.
+    * Passes over the data:
+    *   1. a 1/`sampleRate` deterministic doc sample is analyzed to
+    *      estimate hot terms (heavy-hitter sketch — a term whose sampled
+    *      df clears threshold/sampleRate is salted);
+    *   2. the full narrow analyze feeds repartition(n, term, salt) +
+    *      sortWithinPartitions(term, docId) + parquet write — the one
+    *      shuffle, carrying finished posting rows;
+    *   3. termStats + global stats aggregate over the WRITTEN columnar
+    *      table, reading only (term, docId, tf).
+    */
+  def buildAndSave(corpusWithIds: DataFrame, analyzer: TextAnalyzer, dir: String,
+                   numPartitions: Int = 0, hotDfThreshold: Long = 1000000L,
+                   saltBuckets: Int = 16, writeCorpus: Boolean = true,
+                   sampleRate: Int = 100): Index = {
+    val spark = corpusWithIds.sparkSession
+    val n = if (numPartitions > 0) numPartitions
+            else spark.sessionState.conf.numShufflePartitions
+
+    // heavy-hitter estimate from a deterministic doc sample
+    val sampled = corpusWithIds.filter(pmod(xxhash64(col("docId")), lit(sampleRate)) === 0)
+    val hotTerms = analyzedPostings(sampled, analyzer)
+      .groupBy("term").agg(count(lit(1)).as("sdf"))
+      .filter(col("sdf") * sampleRate >= hotDfThreshold)
+      .select("term").collect().map(_.getString(0)).toSet
+    val bHot = spark.sparkContext.broadcast(hotTerms)
+    val isHot = udf((t: String) => bHot.value.contains(t))
+
+    analyzedPostings(corpusWithIds, analyzer)
+      .withColumn("_salt",
+        when(isHot(col("term")), pmod(hash(col("docId")), lit(saltBuckets))).otherwise(lit(0)))
+      .repartition(n, col("term"), col("_salt"))
+      .drop("_salt")
+      .sortWithinPartitions("term", "docId")
+      .write.mode("overwrite").parquet(s"$dir/postings")
+
+    val postings = spark.read.parquet(s"$dir/postings")
+    val termStats = postings.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+    termStats.write.mode("overwrite").parquet(s"$dir/termstats")
+    val stats = computeStats(postings)
+    if (writeCorpus) corpusWithIds.write.mode("overwrite").parquet(s"$dir/corpus")
+
+    val meta =
+      s"""{"analyzer":"${analyzer.name}","docCount":${stats.docCount},""" +
+        s""""sumTotalTermFreq":${stats.sumTotalTermFreq},"segSize":${Segments.DefaultSegSize},""" +
+        s""""hasSegments":false,"version":1}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/meta.json"), meta)
+
+    Index(corpusWithIds, postings, spark.read.parquet(s"$dir/termstats"),
+      stats, analyzer.name)
   }
 
   /** Persist the index as a directory of parquet tables + metadata.

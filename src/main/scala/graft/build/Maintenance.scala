@@ -32,8 +32,12 @@ object Maintenance {
   }
 
   /** Create (append) new turns: analyze and append their postings.
-    * New docIds continue after the current max (stable (conv_id,
-    * turn_idx) ordering within the appended batch). */
+    * New docIds continue after the current max — stable (conv_id,
+    * turn_idx) ordering WITHIN the appended batch, but appended batches
+    * break the global (conv_id, turn_idx) dense ordering (ids mirror
+    * insertion order, exactly like the reference's upstream-assigned ids);
+    * a compaction that re-runs DocIds.assign over the merged corpus
+    * restores the global invariant. */
   def addTurns(index: Index, turns: Dataset[Turn], analyzer: TextAnalyzer): Index = {
     val base = index.corpus.agg(coalesce(max(col("docId")), lit(-1L))).collect()(0).getLong(0)
     val newCorpus = graft.corpus.DocIds.forTurns(turns)

@@ -41,7 +41,16 @@ final class QueryExec(val index: Index, val exact: Boolean = false) {
 
   /** A flattened boolean query: MUST groups (a group matches when any of
     * its terms match — the multi-token-analysis/synonym case), flat
-    * SHOULD terms, flat MUST_NOT terms. */
+    * SHOULD terms, flat MUST_NOT terms.
+    *
+    * Documented rounding deviation: flattening a nested pure-SHOULD group
+    * folds its terms into ONE double-accumulated sum, whereas Lucene (and
+    * the NaiveOracle) cast each nested clause's sum to float at the
+    * clause boundary before the outer sum. The difference is ≤ a few ulps
+    * of float and can only flip the order of score-TIES' neighbours; we
+    * accept it for the single-pass plan (one aggregation instead of one
+    * per nesting level). The recursive path (used whenever flattening
+    * fails) matches the reference's clause-boundary rounding exactly. */
   private final case class Flat(
       mustGroups: Seq[Seq[String]], should: Seq[String], mustNot: Seq[String])
 

@@ -123,6 +123,27 @@ class ApiSpec extends SparkSuite {
     }
   }
 
+  test("index registry: named indexes resolve independently, drop/clear work") {
+    import org.apache.spark.sql.functions._
+    val reg = new IndexRegistry(spark)
+    reg.register("conversations", engine.index)
+    val tiny2 = TranscriptGen.generate(spark, 3)
+    reg.build("sidecar", tiny2, Analyzers.Simple)
+    assert(reg.names === Seq("conversations", "sidecar"))
+    // the two engines answer from different corpora and analyzers
+    val convHits = reg.engine("conversations")
+      .search(SearchRequest(text = Some("needle_3"), maxResults = 3)).hits
+    assert(convHits.nonEmpty)
+    assert(reg.get("sidecar").get.analyzerName === "simple")
+    assert(reg.get("sidecar").get.stats.docCount ===
+      reg.get("sidecar").get.corpus.filter(length(col("text")) > 0).count())
+    intercept[NoSuchElementException](reg.engine("nope"))
+    reg.drop("sidecar")
+    assert(reg.names === Seq("conversations"))
+    reg.clear()
+    assert(reg.names.isEmpty)
+  }
+
   test("streaming surrogate docIds survive >256-turn conversations without collision") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
