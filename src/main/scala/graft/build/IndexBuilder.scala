@@ -149,7 +149,15 @@ object IndexBuilder {
     val termStats = postings.groupBy(col("term"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
     termStats.write.mode("overwrite").parquet(s"$dir/termstats")
-    val stats = computeStats(postings)
+    // sumTotalTermFreq folds over the (tiny) termstats table; docCount is
+    // the only aggregate that must rescan postings, and it reads just the
+    // docId column
+    val writtenStats = spark.read.parquet(s"$dir/termstats")
+    val sttfRow = writtenStats.agg(sum(col("cf"))).collect()(0)
+    val docCount = postings.select("docId").distinct().count()
+    val stats =
+      if (sttfRow.isNullAt(0) || docCount == 0L) CorpusStats(0L, 0L)
+      else CorpusStats(docCount, sttfRow.getLong(0))
     if (writeCorpus) corpusWithIds.write.mode("overwrite").parquet(s"$dir/corpus")
 
     val meta =

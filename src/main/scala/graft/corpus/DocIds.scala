@@ -39,9 +39,9 @@ object DocIds {
       .repartitionByRange(n, cols: _*)
       .sortWithinPartitions(cols: _*)
       .persist()
-    // materialize the cache FIRST: the count pass and the assignment pass
-    // must observe the same physical partition layout
-    parted.count()
+    // the count pass below is the materializing action for the parted
+    // cache (persist() already fixed the cached plan's layout); the
+    // assignment pass then reads the same cached partitions
     val counts: Array[(Int, Long)] = parted.queryExecution.toRdd
       .mapPartitionsWithIndex { (pid, it) =>
         var c = 0L; while (it.hasNext) { it.next(); c += 1 }

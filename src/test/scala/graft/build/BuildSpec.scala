@@ -11,6 +11,26 @@ class BuildSpec extends SparkSuite {
   private lazy val corpus = DocIds.forTurns(TranscriptGen.tiny(spark)).cache()
   private lazy val index = IndexBuilder.build(corpus, Analyzers.Icat)
 
+  test("buildAndSave produces the same postings, termStats and stats as build+save") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bas").toString
+    val idx2 = IndexBuilder.buildAndSave(corpus, Analyzers.Icat, dir,
+      hotDfThreshold = 50L, writeCorpus = true)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("term", "docId", "tf", "norm").orderBy("term", "docId")
+        .collect().map(_.toSeq).toSeq
+    assert(norm(idx2.postings) === norm(index.postings))
+    assert(idx2.stats === index.stats)
+    val ts2 = idx2.termStats.orderBy("term").collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val ts1 = index.termStats.orderBy("term").collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(ts2 === ts1)
+    // and the directory is loadable like any saved index
+    val loaded = IndexBuilder.load(spark, dir)
+    assert(loaded.stats === index.stats)
+    assert(loaded.analyzerName === "icat")
+  }
+
   test("salted term-major build ≡ unsalted build (any salt bucket count)") {
     val unsalted = SaltedPostings.build(index.postings, index.termStats,
       hotDfThreshold = Long.MaxValue, saltBuckets = 1)

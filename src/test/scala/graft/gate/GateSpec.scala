@@ -33,7 +33,7 @@ class GateSpec extends SparkSuite {
       val froms = "(?i)FROM\\s+([a-z_]+)".r.findAllMatchIn(sql).map(_.group(1)).toSet
       val unknown = froms -- tables --
         Set("toks", "dl", "dlq", "stats", "post", "tstat", "scores", "arr", "sh",
-          "sizes", "counts", "documents", "events", "embeddings")
+          "sizes", "counts", "documents", "events", "embeddings", "w")
       assert(unknown.isEmpty, s"oracle references unknown tables: $unknown")
     }
   }
