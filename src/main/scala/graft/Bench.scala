@@ -26,6 +26,17 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** Bench scratch space: tmpfs when available so the scaling numbers
+    * measure the engine's compute, not this VM's (shared, drifting) disk;
+    * on a real cluster shuffle lands on per-executor local NVMe. The
+    * whole directory is deleted at the end of the run. */
+  lazy val scratch: String = {
+    val shm = new java.io.File("/dev/shm")
+    val base = if (shm.isDirectory && shm.canWrite) shm.toPath
+               else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    java.nio.file.Files.createTempDirectory(base, "graft-bench").toString
+  }
+
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
@@ -34,6 +45,7 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")
+      .config("spark.local.dir", s"$scratch/sparklocal")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
@@ -118,7 +130,7 @@ object Bench {
     val numConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "24000").toLong
     val loCores = 8
     val hiCores = 32
-    val tmp = java.nio.file.Files.createTempDirectory("graft-bench").toString
+    val tmp = scratch
 
     // ---- scaling evidence: same build at lo and hi cores, alternated
     // A/B/A/B/A/B (the host's CPU delivery drifts minute to minute — three
@@ -212,5 +224,11 @@ object Bench {
         s""""latency":{"p50":${"%.3f".format(pct(0.5))},"p95":${"%.3f".format(pct(0.95))}}}"""
     println(json)
     spark.stop()
+    // reclaim the (possibly tmpfs) scratch space
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmrf))
+      f.delete(); ()
+    }
+    rmrf(new java.io.File(tmp))
   }
 }
