@@ -63,29 +63,48 @@ object Dedup {
     * document frequency ≤ `hotShingleDfCap`. A boilerplate shingle shared
     * by d documents otherwise yields d² candidate rows — quadratic in the
     * hottest key at corpus scale. Capped blocking stays sub-quadratic;
-    * the Jaccard itself is still computed over ALL shingles of each
-    * candidate pair (equi-join on (doc, shingle) — no blowup), so scores
-    * are exact. A qualifying pair is missed only if EVERY shared shingle
-    * is hot — at jaccard ≥ threshold that needs the pair's whole shared
-    * content to be corpus boilerplate. */
+    * the Jaccard itself stays EXACT: the rare self-join yields each
+    * pair's rare-shingle overlap, and an equi-joined correction adds the
+    * hot shingles the pair shares (touching candidates × per-doc hot
+    * rows, never d² of a hot shingle). A qualifying pair is missed only
+    * if EVERY shared shingle is hot — at jaccard ≥ threshold that needs
+    * the pair's whole shared content to be corpus boilerplate. */
   def ngramJaccardPairs(df: DataFrame, n: Int, threshold: Double,
                         idCol: String = "doc_id", textCol: String = "text",
                         hotShingleDfCap: Long = 128L): DataFrame = {
     val sh = shingles(df, n, idCol, textCol).persist()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    val rareShingles = sh.groupBy("shingle").agg(count(lit(1)).as("sdf"))
-      .filter(col("sdf") <= hotShingleDfCap).select("shingle")
-    val rare = sh.join(rareShingles, "shingle")
-    val candidates = rare.select(col("id").as("ida"), col("shingle"))
+    val sdf = sh.groupBy("shingle").agg(count(lit(1)).as("sdf"))
+    // candidate pairs AND their rare-shingle overlap in one self-join:
+    // only shingles with df ≤ cap generate pair rows
+    val hotShingles = sdf.filter(col("sdf") > hotShingleDfCap).select("shingle")
+    val anyHot = hotShingles.limit(1).count() > 0
+    val rare =
+      if (anyHot) sh.join(sdf.filter(col("sdf") <= hotShingleDfCap).select("shingle"), "shingle")
+      else sh
+    val commonRare0 = rare.select(col("id").as("ida"), col("shingle"))
       .join(rare.select(col("id").as("idb"), col("shingle")), "shingle")
       .where(col("ida") < col("idb"))
-      .select("ida", "idb").distinct()
-    val withA = candidates
-      .join(sh.select(col("id").as("ida"), col("shingle").as("ga")), "ida")
-    val shB = sh.select(col("id").as("idbr"), col("shingle").as("gb"))
-    val common = withA
-      .join(shB, withA("idb") === shB("idbr") && col("ga") === col("gb"))
-      .groupBy("ida", "idb").agg(count(lit(1)).as("common"))
+      .groupBy("ida", "idb").agg(count(lit(1)).as("common_rare"))
+    val common =
+      if (!anyHot) commonRare0.withColumnRenamed("common_rare", "common")
+      else {
+        // exact correction: hot shingles shared by a candidate pair. Hot
+        // rows are few per doc (bounded by the doc's hot-shingle count),
+        // so this join touches candidates × hot rows, never d² of a hot
+        // shingle. commonRare feeds both sides — persist it.
+        val commonRare = commonRare0.persist()
+        val hotRows = sh.join(hotShingles, "shingle")
+        val commonHot = commonRare.select("ida", "idb")
+          .join(hotRows.select(col("id").as("ida"), col("shingle").as("ga")), "ida")
+          .join(hotRows.select(col("id").as("idbr"), col("shingle").as("gb")),
+            col("idb") === col("idbr") && col("ga") === col("gb"))
+          .groupBy("ida", "idb").agg(count(lit(1)).as("common_hot"))
+        commonRare
+          .join(commonHot, Seq("ida", "idb"), "left")
+          .withColumn("common", col("common_rare") + coalesce(col("common_hot"), lit(0L)))
+          .drop("common_rare", "common_hot")
+      }
     common
       .join(sizes.toDF("ida", "sza"), "ida")
       .join(sizes.toDF("idb", "szb"), "idb")
