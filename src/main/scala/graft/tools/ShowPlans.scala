@@ -57,6 +57,23 @@ object ShowPlans {
     show("facet over matches", engine.index.corpus.join(m, "docId")
       .groupBy(col("role")).agg(count(lit(1)).as("doc_count")))
 
+    // 5. double-range predicate over a numeric parquet column: expect
+    //    PushedFilters [GreaterThanOrEqual(value,..), LessThan(value,..)]
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    show("double range over events (pushed to scan)",
+      events.filter(graft.score.Predicates.toColumn(
+        NumRange("value", 50.0, 150.0, loInc = true, hiInc = false)))
+        .select("event_id", "value"))
+
+    // 6. ANN probe over the materialized LSH index: expect
+    //    PartitionFilters on (band, bv) — directory pruning
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    graft.pipeline.AnnIndex.buildLsh(emb, s"$dir/ann")
+    val qv = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    show("LSH probe (partition-pruned bucket scan)",
+      graft.pipeline.AnnIndex.lshProbeScan(spark, s"$dir/ann", qv))
+
     spark.stop()
   }
 }
