@@ -143,10 +143,11 @@ object Bench {
     val (_, hi2, pHi2) = buildAt(hiCores, numConvs, s"$tmp/idx${hiCores}b", warm = false)
     val (_, lo3, pLo3) = buildAt(loCores, numConvs, s"$tmp/idx${loCores}c", warm = false)
     val (_, hi3, pHi3) = buildAt(hiCores, numConvs, s"$tmp/idx${hiCores}c", warm = false)
-    val secsLo = Seq(lo1, lo2, lo3).min
-    val secsHi = Seq(hi1, hi2, hi3).min
-    val probeLo = Seq(pLo1, pLo2, pLo3).min
-    val probeHi = Seq(pHi1, pHi2, pHi3).min
+    // best window per core count; the hardware ceiling is calibrated from
+    // the probes ADJACENT to the selected windows (what the host actually
+    // delivered while the measured builds ran)
+    val (secsLo, probeLo) = Seq((lo1, pLo1), (lo2, pLo2), (lo3, pLo3)).minBy(_._1)
+    val (secsHi, probeHi) = Seq((hi1, pHi1), (hi2, pHi2), (hi3, pHi3)).minBy(_._1)
     val turnsHi = turnsLo
     val hwCeiling = (probeLo / probeHi) / (hiCores.toDouble / loCores)
     val thrLo = turnsLo / secsLo
@@ -197,10 +198,13 @@ object Bench {
       sortedLat((p * (sortedLat.size - 1)).round.toInt)
 
     // ---- gate queries on the driver sf tables ----
-    // untimed warm of the one-time ANN index BUILD so ann_* rows time the
-    // probe (the query), not the index construction
-    try SparkEntry.queries("ann_lsh")(spark, sfDir).count()
-    catch { case _: Throwable => () }
+    // untimed warm of the one-time index BUILDS (gate BM25 index +
+    // segments, ANN buckets/cells) so gate rows time the query, not the
+    // index construction the first query would otherwise trigger
+    Seq("ann_lsh", "bm25_term", "bm25_wand").foreach { n =>
+      try SparkEntry.queries(n)(spark, sfDir).count()
+      catch { case _: Throwable => () }
+    }
     val gateTimes = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val t = try time(fn(spark, sfDir).count())._2 catch { case _: Throwable => -1.0 }
