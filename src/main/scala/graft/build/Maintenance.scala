@@ -77,6 +77,36 @@ object Maintenance {
       d.withColumn(c, coalesce(col(s"__new_$c"), col(c))).drop(s"__new_$c"))
   }
 
+  /** pruneDocument (reference: Lucene.java:1706-1726 — rebuild a Document
+    * minus the given fields): relational rows have a fixed schema, so
+    * pruned fields become null on the targeted docs. */
+  def pruneFields(corpus: DataFrame, docIds: Seq[Long], fields: Seq[String]): DataFrame =
+    fields.foldLeft(corpus) { (d, f) =>
+      d.withColumn(f,
+        when(col("docId").isin(docIds: _*), lit(null)).otherwise(col(f)))
+    }
+
+  /** updateDocumentFields (reference: Lucene.java:1728-1750 — rebuild a
+    * Document with the given fields replaced by new values). */
+  def updateFields(corpus: DataFrame, docIds: Seq[Long],
+                   updates: Map[String, Any]): DataFrame =
+    updates.foldLeft(corpus) { case (d, (f, v)) =>
+      d.withColumn(f,
+        when(col("docId").isin(docIds: _*), lit(v)).otherwise(col(f)))
+    }
+
+  /** Per-parent rollup — the reference's aggregateFiles analogue
+    * (Lucene.java:639-720: on Datafile changes, fileSize/fileCount are
+    * re-aggregated onto the parent Dataset/Investigation docs). A batch
+    * groupBy replaces the reference's per-event read-modify-write; at
+    * 100 TB this is one partial-aggregated shuffle keyed by the parent. */
+  def rollup(corpus: DataFrame, parentCol: String): DataFrame =
+    corpus.groupBy(col(parentCol))
+      .agg(
+        count(lit(1)).as("turn_count"),
+        sum(length(col("text"))).cast("long").as("total_chars"),
+        max(col("ts")).as("last_ts"))
+
   private def rebuild(old: Index, corpus: DataFrame, postings: DataFrame): Index = {
     val termStats = postings.groupBy(col("term"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))

@@ -219,6 +219,39 @@ object Gate {
              |WHERE value = 100.0 OR (value - 25.0 <= 100.0 AND value + 25.0 >= 100.0)
              |ORDER BY event_id LIMIT 500""".stripMargin)),
 
+    GateQuery("si_units",
+      // SI shadow fields (reference: Lucene.java:1650-1692): a unit alias
+      // column drives per-row conversion; raw doubles compare bit-equal
+      // between Spark and DuckDB (same IEEE ops)
+      (s, d) => {
+        val unit = when(col("event_type") === "purchase", "eV")
+          .when(col("event_type") === "error", "celsius")
+          .otherwise("K")
+        graft.build.Units.withSiColumns(
+            events(s, d).withColumn("unit", unit), "unit", Seq("value"))
+          .select("event_id", "unitsSI", "valueSI")
+          .orderBy("event_id").limit(500)
+      },
+      Some("""SELECT event_id,
+             |  CASE WHEN event_type = 'purchase' THEN 'J' ELSE 'K' END AS "unitsSI",
+             |  CASE WHEN event_type = 'purchase' THEN value * 1.602176634e-19
+             |       WHEN event_type = 'error' THEN value + 273.15
+             |       ELSE value END AS "valueSI"
+             |FROM events ORDER BY event_id LIMIT 500""".stripMargin)),
+
+    GateQuery("rollup_conv",
+      // per-parent rollup through the real corpus (the aggregateFiles
+      // analogue, Lucene.java:639-720); parent := tool (source)
+      (s, d) => {
+        val (idx, _) = gate(s, d)
+        graft.build.Maintenance.rollup(idx.corpus, "tool")
+          .select("tool", "turn_count", "total_chars")
+          .orderBy("tool")
+      },
+      Some("""SELECT source AS tool, count(*) AS turn_count,
+             |  CAST(sum(length(text)) AS BIGINT) AS total_chars
+             |FROM documents GROUP BY source ORDER BY tool""".stripMargin)),
+
     GateQuery("topk_sort_role",
       // generalized typed field sort through the engine (role asc, ts
       // desc, docId tiebreak); gate ts is monotone in doc_id

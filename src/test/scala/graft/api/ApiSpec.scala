@@ -123,6 +123,54 @@ class ApiSpec extends SparkSuite {
     }
   }
 
+  test("pruneFields nulls targeted docs' fields; updateFields replaces them") {
+    import org.apache.spark.sql.functions._
+    val corpus = engine.index.corpus
+    val victim = corpus.select("docId").head().getLong(0)
+    val pruned = Maintenance.pruneFields(corpus, Seq(victim), Seq("tool", "role"))
+    val r = pruned.filter(col("docId") === victim).select("tool", "role").head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+    assert(pruned.filter(col("role").isNotNull).count() === corpus.count() - 1)
+    val updated = Maintenance.updateFields(corpus, Seq(victim), Map("role" -> "system"))
+    assert(updated.filter(col("docId") === victim).select("role").head().getString(0) === "system")
+    assert(updated.filter(col("role") === "system").count() ===
+      corpus.filter(col("role") === "system").count() + 1)
+  }
+
+  test("rollup aggregates per parent like aggregateFiles") {
+    import org.apache.spark.sql.functions._
+    val got = Maintenance.rollup(engine.index.corpus, "conv_id")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val want = engine.index.corpus
+      .groupBy("conv_id")
+      .agg(count(lit(1)), sum(length(col("text"))))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("SI unit conversion matches the reference's enabled conversions") {
+    import graft.build.Units
+    assert(Units.convertValueToSiUnits(1.0, "eV") ===
+      Some(Units.SiValue("J", 1.602176634e-19)))
+    assert(Units.convertValueToSiUnits(25.0, "celsius") ===
+      Some(Units.SiValue("K", 298.15)))
+    assert(Units.convertValueToSiUnits(25.0, "degC") ===
+      Some(Units.SiValue("K", 298.15)))
+    assert(Units.convertValueToSiUnits(5.0, "kelvin") === Some(Units.SiValue("K", 5.0)))
+    assert(Units.convertValueToSiUnits(5.0, "furlong") === None)
+    // column path: shadow fields appear, unknown units give nulls
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, 2.0, "eV"), (2L, 0.0, "celsius"), (3L, 1.0, "furlong"))
+      .toDF("id", "value", "unit")
+    val out = Units.withSiColumns(df, "unit", Seq("value")).orderBy("id").collect()
+    assert(out(0).getString(3) === "J")
+    assert(math.abs(out(0).getDouble(4) - 2 * 1.602176634e-19) < 1e-30)
+    assert(out(1).getDouble(4) === 273.15)
+    assert(out(2).isNullAt(3) && out(2).isNullAt(4))
+  }
+
   test("index registry: named indexes resolve independently, drop/clear work") {
     import org.apache.spark.sql.functions._
     val reg = new IndexRegistry(spark)
