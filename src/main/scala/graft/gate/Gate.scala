@@ -383,6 +383,48 @@ object Gate {
       },
       Some("SELECT lang, count(*) AS n FROM documents GROUP BY lang ORDER BY lang")),
 
+    GateQuery("avg_score_join",
+      // ScoreMode.Avg join (reference: sample-text score-carrying join,
+      // SearchBucket.java:291-297): from-side BM25 scores averaged per
+      // join key and attached to the to-side
+      (s, d) => {
+        val (idx, exec) = gate(s, d)
+        val fromScored = exec.matches(parse("spark"), Nil)
+          .join(idx.corpus.select("docId", "tool"), "docId")
+          .select(col("tool").as("k"), col("score"))
+        val toSide = idx.corpus.select("tool").distinct()
+        graft.score.Joins.avgScoreJoin(toSide, "tool", fromScored, "k")
+          .select(col("tool"), round(col("joinScore"), 4).as("avg_score"))
+          .orderBy(col("avg_score").desc, col("tool"))
+      },
+      sql("""SELECT doc.source AS tool, round(avg(s.tscore), 4) AS avg_score
+            |FROM scores s JOIN documents doc ON doc.doc_id = s.doc_id
+            |WHERE s.term = 'spark'
+            |GROUP BY 1 ORDER BY avg_score DESC, tool""".stripMargin)),
+
+    GateQuery("joined_fetch",
+      // per-hit joined-entity fetch, ≤3 related docs per key sorted by id
+      // (reference: ≤100 per hit, Lucene.java:869-901)
+      (s, d) => {
+        val (idx, exec) = gate(s, d)
+        val top5 = exec.topK(parse("spark"), Nil, 5)
+        val hits = idx.corpus.join(top5.select("docId"), "docId")
+          .select("docId", "tool")
+        graft.score.Joins.joinedFetch(
+            hits, "tool", idx.corpus.select("docId", "tool"), "tool", "docId", 3)
+          .select(col("docId").as("doc_id"), col("tool"))
+          .orderBy("tool", "doc_id")
+      },
+      sql("""SELECT doc_id, tool FROM (
+            |  SELECT d.doc_id, d.source AS tool,
+            |    row_number() OVER (PARTITION BY d.source ORDER BY d.doc_id) AS rn
+            |  FROM documents d
+            |  WHERE d.source IN (
+            |    SELECT DISTINCT doc.source FROM documents doc JOIN (
+            |      SELECT doc_id FROM scores WHERE term = 'spark'
+            |      ORDER BY tscore DESC, doc_id LIMIT 5) h ON doc.doc_id = h.doc_id))
+            |WHERE rn <= 3 ORDER BY tool, doc_id""".stripMargin)),
+
     GateQuery("semi_join_users",
       (s, d) => {
         val ev = events(s, d)
