@@ -214,8 +214,12 @@ object IndexBuilder {
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/meta.json"), meta)
   }
 
-  /** Load a persisted index. */
+  /** Load a persisted index. The directory must contain a corpus table
+    * (write with `writeCorpus = true`); corpus-less saves are
+    * postings-only artifacts for throughput benchmarking. */
   def load(spark: SparkSession, dir: String): Index = {
+    require(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/corpus")),
+      s"$dir has no corpus table — saved with writeCorpus=false?")
     val meta = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$dir/meta.json"))
     def field(k: String): String = {
       val m = java.util.regex.Pattern.compile("\"" + k + "\":\"?([^,}\"]+)").matcher(meta)
