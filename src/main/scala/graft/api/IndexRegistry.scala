@@ -39,11 +39,18 @@ final class IndexRegistry(val spark: SparkSession) {
 
   def names: Seq[String] = indexes.keys.toSeq.sorted
 
-  /** Drop one index (reference: per-bucket clear, Lucene.java:547-566). */
-  def drop(name: String): Unit = indexes.remove(name)
+  /** Drop one index (reference: per-bucket clear, Lucene.java:547-566).
+    * Releases the dropped bundle's cached tables — in a long-lived
+    * service, drop without unpersist would pin every dropped generation
+    * in executor storage until LRU eviction. */
+  def drop(name: String): Unit =
+    indexes.remove(name).foreach(_.unpersistAll())
 
   /** Wipe the registry (reference: clear-all, Lucene.java:547-566). */
-  def clear(): Unit = indexes.clear()
+  def clear(): Unit = {
+    indexes.values.foreach(_.unpersistAll())
+    indexes.clear()
+  }
 
   /** Load a persisted index directory under a name. */
   def load(name: String, dir: String): Index = {

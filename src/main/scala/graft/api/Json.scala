@@ -83,6 +83,21 @@ object Json {
       case JLong(l) => l.toInt
       case _        => 10
     }
+    // joined-entity fetch option (the reference's fields[] analogue,
+    // SearchBucket.java:755-778): {"joinFetch":{"key":"conv_id","limit":3}}
+    val joinFetch: Option[JoinFetchSpec] = (root \ "joinFetch") match {
+      case JObject(fs) =>
+        val m = fs.toMap
+        m.get("key").flatMap(str).map { k =>
+          val lim = m.get("limit") match {
+            case Some(JInt(i))  => i.toInt
+            case Some(JLong(l)) => l.toInt
+            case _              => 100
+          }
+          JoinFetchSpec(k, lim)
+        }
+      case _ => None
+    }
     SearchRequest(
       text = str(q \ "text"),
       filter = filter,
@@ -90,7 +105,8 @@ object Json {
       upper = str(q \ "upper"),
       sort = sort,
       searchAfter = after,
-      maxResults = maxResults)
+      maxResults = maxResults,
+      joinFetch = joinFetch)
   }
 
   private def esc(s: String): String = s.flatMap {
@@ -109,10 +125,20 @@ object Json {
   def renderResponse(resp: SearchResponse): String = {
     val hits = resp.hits.map { h =>
       val tool = h.tool.map(t => s""""${esc(t)}"""").getOrElse("null")
+      // joined docs ride inline per hit, the reference's shape
+      // (Lucene.java:869-901 embeds ≤100 joined documents in each result)
+      val joined = resp.joined.get(h.docId).map { ds =>
+        ds.map { d =>
+          val dt = d.tool.map(t => s""""${esc(t)}"""").getOrElse("null")
+          s"""{"id":${d.docId},"conv_id":"${esc(d.conv_id)}",""" +
+            s""""turn_idx":${d.turn_idx},"role":"${esc(d.role)}",""" +
+            s""""text":"${esc(d.text)}","tool":$dt,"ts":${d.ts.getTime}}"""
+        }.mkString(""","joined":[""", ",", "]")
+      }.getOrElse("")
       s"""{"id":${h.docId},"score":${h.score},"source":{""" +
         s""""conv_id":"${esc(h.conv_id)}","turn_idx":${h.turn_idx},""" +
         s""""role":"${esc(h.role)}","text":"${esc(h.text)}","tool":$tool,""" +
-        s""""ts":${h.ts.getTime}}}"""
+        s""""ts":${h.ts.getTime}}$joined}"""
     }.mkString("[", ",", "]")
     val after = resp.searchAfter.map { a =>
       val score = a.score.map(s => s""","score":$s""").getOrElse("")

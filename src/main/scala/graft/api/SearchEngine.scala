@@ -83,8 +83,44 @@ final class SearchEngine(val index: Index) {
           }
       })
     }
-    SearchResponse(ordered, afterTok)
+    SearchResponse(ordered, afterTok, joinedFor(req, orderedIds))
   }
+
+  /** fields[]-style joined-entity fetch for the winning hits (reference:
+    * SearchBucket.java:755-778 request parse; Lucene.java:869-901 returns
+    * ≤100 related docs inline per hit): related corpus rows sharing each
+    * hit's `key` value, ≤ limit per hit by docId asc, via the same
+    * broadcast-hits + bounded-window plan as Joins.joinedFetch. */
+  private def joinedFor(req: SearchRequest,
+                        orderedIds: Array[Long]): Map[Long, Seq[JoinedDoc]] =
+    req.joinFetch match {
+      case None => Map.empty
+      case Some(spec) =>
+        if (orderedIds.isEmpty) return Map.empty
+        val cap = math.min(spec.limit, 100) // the reference's hard cap
+        import spark.implicits._
+        val hitsDf = index.corpus
+          .join(broadcast(spark.createDataset(orderedIds.toSeq).toDF("docId")), "docId")
+          .select(col("docId"), col(spec.key).cast("string").as("__k"))
+        // hit docId → its key value (≤ k rows)
+        val hitKey: Map[Long, String] = hitsDf.collect()
+          .flatMap(r => Option(r.getString(1)).map(r.getLong(0) -> _)).toMap
+        val related = graft.score.Joins.joinedFetch(
+            hitsDf, "__k", index.corpus.withColumn("__k", col(spec.key).cast("string")),
+            "__k", "docId", cap)
+          .select(col("__k"), col("docId"), col("conv_id"), col("turn_idx"),
+            col("role"), col("text"), col("tool"), col("ts"))
+          .collect() // bounded: ≤ k × cap rows, the reference's inline shape
+        val byKey: Map[String, Seq[JoinedDoc]] = related
+          .groupBy(_.getString(0))
+          .map { case (k, rs) =>
+            k -> rs.sortBy(_.getLong(1)).map(r =>
+              JoinedDoc(r.getLong(1), r.getString(2), r.getInt(3), r.getString(4),
+                r.getString(5), Option(r.getString(6)), r.getTimestamp(7))).toSeq
+          }
+        orderedIds.flatMap(id =>
+          hitKey.get(id).flatMap(byKey.get).map(id -> _)).toMap
+    }
 
   private def toFloatScore(v: Any): Float = v match {
     case f: Float  => f
@@ -97,23 +133,30 @@ final class SearchEngine(val index: Index) {
     * thread-local, so the group MUST be set inside the Future body on the
     * thread that actually submits the jobs — setting it on the caller's
     * thread would leave the submitted jobs ungrouped and cancelJobGroup
-    * a no-op. */
+    * a no-op.
+    *
+    * Hardening (round 3): the body runs on a DEDICATED unbounded executor
+    * — on the global pool a saturated queue could delay the body past the
+    * timeout, making the cancel a no-op on a search that then runs
+    * ungoverned — and cancellation uses cancelJobGroupAndFutureJobs, so
+    * actions search() submits AFTER the cancel fires (it runs several
+    * collects) are killed too, not just the in-flight job. */
   def searchWithTimeout(req: SearchRequest, timeoutSecs: Int = 5,
                         groupName: Option[String] = None): Either[String, SearchResponse] = {
     val group = groupName.getOrElse(s"graft-search-${System.nanoTime()}")
     val sc = spark.sparkContext
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
-    import scala.concurrent.ExecutionContext.Implicits.global
     val f = Future {
       sc.setJobGroup(group, "time-limited search", interruptOnCancel = true)
       try search(req)
       finally sc.clearJobGroup() // pooled thread: don't leak the group
-    }
+    }(SearchEngine.timeoutExec)
     try Right(Await.result(f, timeoutSecs.seconds))
     catch {
       case _: java.util.concurrent.TimeoutException =>
-        sc.cancelJobGroup(group) // kills the Future's in-flight Spark jobs
+        // kills in-flight jobs AND any the still-running search submits next
+        sc.cancelJobGroupAndFutureJobs(group)
         Left(s"search exceeded $timeoutSecs s") // the reference's 504
     }
   }
@@ -121,9 +164,51 @@ final class SearchEngine(val index: Index) {
   /** String facets: doc counts per label of each dimension over the
     * query's matches, ordered count-desc then label, limited to maxLabels
     * (reference: Lucene.java:1334-1368; cross-partition merge is the
-    * groupBy itself, FacetedDimension.java:51-62). */
+    * groupBy itself, FacetedDimension.java:51-62).
+    *
+    * Single pass over the match join for ALL dimensions — the analogue of
+    * the reference counting every facet field in one collector pass
+    * (Lucene.java:1383-1395): explode (dim, label) entries, ONE
+    * aggregation, then a per-dim top-maxLabels window over the (tiny)
+    * aggregated label table. D dimensions cost one scan, not D. */
   def facetStrings(req: SearchRequest, dimensions: Seq[String],
                    maxLabels: Int = 10): Map[String, Seq[(String, Long)]] = {
+    if (dimensions.isEmpty) return Map.empty
+    val rows = facetFrame(req, dimensions, maxLabels).collect()
+    val byDim = rows.groupBy(_.getString(0))
+    dimensions.map { dim =>
+      dim -> byDim.getOrElse(dim, Array.empty)
+        .map(r => (r.getString(1), r.getLong(2))).toSeq
+    }.toMap
+  }
+
+  /** The single-pass facet frame: (dim, label, doc_count), ≤ maxLabels
+    * rows per dim. Exposed for plan assertions. */
+  private[graft] def facetFrame(req: SearchRequest, dimensions: Seq[String],
+                                maxLabels: Int): DataFrame = {
+    val (q, filters) = plan(req)
+    val m = exec.matches(q, filters).select("docId")
+    val joined = index.corpus.join(m, "docId")
+    val entries = array(dimensions.map(d =>
+      struct(lit(d).as("dim"), col(d).cast("string").as("label"))): _*)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("dim"))
+      .orderBy(col("doc_count").desc, col("label").asc)
+    joined
+      .select(explode(entries).as("e"))
+      .select(col("e.dim").as("dim"), col("e.label").as("label"))
+      .filter(col("label").isNotNull)
+      .groupBy(col("dim"), col("label")).agg(count(lit(1)).as("doc_count"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxLabels)
+      .drop("__rn")
+      .orderBy(col("dim").asc, col("doc_count").desc, col("label").asc)
+  }
+
+  /** The per-dimension variant (one aggregation job per dim) — kept for
+    * parity testing against the single-pass implementation. */
+  private[graft] def facetStringsPerDim(req: SearchRequest, dimensions: Seq[String],
+                                        maxLabels: Int = 10): Map[String, Seq[(String, Long)]] = {
     val (q, filters) = plan(req)
     val m = exec.matches(q, filters).select("docId")
     val joined = index.corpus.join(m, "docId")
@@ -183,6 +268,18 @@ object SearchEngine {
   /** API version constant (reference: Constants.java / GET /version,
     * Lucene.java:467-476). */
   val ApiVersion = "1.0.0"
+
+  /** Dedicated daemon executor for time-limited searches: the Future body
+    * must START promptly (it sets the job group that makes cancellation
+    * possible), so it cannot queue behind unrelated work on the global
+    * pool. Cached threads — idle ones die after 60 s. */
+  private[api] val timeoutExec: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newCachedThreadPool(r => {
+        val t = new Thread(r, "graft-search-timeout")
+        t.setDaemon(true)
+        t
+      }))
 
   /** Build an engine from a turns dataset: assign dense docIds, build the
     * index tables. */

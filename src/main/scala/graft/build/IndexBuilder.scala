@@ -34,6 +34,20 @@ final case class Index(
     segments: Option[DataFrame] = None,
     segSize: Int = Segments.DefaultSegSize) {
   def analyzer: TextAnalyzer = Analyzers.byName(analyzerName)
+
+  /** Cache-ownership hook: drop every cached table of this bundle (the
+    * close() of a long-lived service — see IndexRegistry.drop/clear).
+    * No-op for tables that were never persisted; the bundle itself stays
+    * queryable afterwards, recomputing from lineage/storage. Corpus
+    * inclusion is optional because the corpus cache is minted by
+    * DocIds.assign and may be shared by other bundles built over it. */
+  def unpersistAll(includeCorpus: Boolean = true): Unit = {
+    postings.unpersist()
+    termStats.unpersist()
+    segments.foreach(_.unpersist())
+    if (includeCorpus) corpus.unpersist()
+    ()
+  }
 }
 
 object IndexBuilder {
@@ -80,9 +94,16 @@ object IndexBuilder {
   }
 
   /** Analyzed narrow projection: one finished posting row per (doc, term)
-    * — per-doc tf counted inside the projection, no shuffle. */
+    * — per-doc tf counted inside the projection, no shuffle.
+    *
+    * `keepEmptyDocs = true` emits ONE sentinel row (term = null, tf =
+    * null) for a doc whose text analyzes to zero tokens, so the at-scale
+    * build can recover the exact Lucene docCount (docs with ≥1 term —
+    * Terms.getDocCount semantics) from corpusCount − sentinelCount
+    * without a distinct-docId shuffle over the whole postings table. */
   private[graft] def analyzedPostings(corpusWithIds: DataFrame,
-                                      analyzer: TextAnalyzer): DataFrame = {
+                                      analyzer: TextAnalyzer,
+                                      keepEmptyDocs: Boolean = false): DataFrame = {
     val analyzeUdf = udf((s: String) => {
       val a = analyzer(if (s == null) "" else s)
       val counts = new java.util.LinkedHashMap[String, Int]()
@@ -97,10 +118,12 @@ object IndexBuilder {
     val normUdf = udf((positions: Int) => SmallFloat.intToByte4(positions))
     val hasAttrs = Seq("role", "tool", "ts").forall(corpusWithIds.columns.contains)
     val attrCols = if (hasAttrs) Seq(col("role"), col("tool"), col("ts")) else Nil
+    val exploded =
+      if (keepEmptyDocs) explode_outer(col("tfs")) else explode(col("tfs"))
     corpusWithIds
       .select(Seq(col("docId"), analyzeUdf(col("text")).as("a")) ++ attrCols: _*)
       .select(Seq(col("docId"), col("a._1").as("tfs"), normUdf(col("a._2")).as("norm")) ++ attrCols: _*)
-      .select(Seq(col("docId"), col("norm"), explode(col("tfs")).as(Seq("term", "tf")))
+      .select(Seq(col("docId"), col("norm"), exploded.as(Seq("term", "tf")))
         ++ attrCols: _*)
       .withColumn("tf", col("tf").cast("int"))
   }
@@ -137,7 +160,14 @@ object IndexBuilder {
     val bHot = spark.sparkContext.broadcast(hotTerms)
     val isHot = udf((t: String) => bHot.value.contains(t))
 
-    analyzedPostings(corpusWithIds, analyzer)
+    // zero-token docs ride along as ONE null-term sentinel row each, so
+    // the exact Lucene docCount (docs with ≥1 term) falls out of
+    // corpusCount − sentinelCount below — no distinct-docId shuffle over
+    // the full postings table (which defeats partial aggregation: every
+    // term-partitioned partition sees most docIds, so the "distinct"
+    // shuffles nearly the whole docId column and scales with I/O, not
+    // cores)
+    analyzedPostings(corpusWithIds, analyzer, keepEmptyDocs = true)
       .withColumn("_salt",
         when(isHot(col("term")), pmod(hash(col("docId")), lit(saltBuckets))).otherwise(lit(0)))
       .repartition(n, col("term"), col("_salt"))
@@ -145,16 +175,20 @@ object IndexBuilder {
       .sortWithinPartitions("term", "docId")
       .write.mode("overwrite").parquet(s"$dir/postings")
 
-    val postings = spark.read.parquet(s"$dir/postings")
+    // every in-memory view of the artifact is sentinel-free; the isNull
+    // count is metadata-cheap (pushdown + null-first term sort clusters
+    // sentinels, and they are rare to begin with)
+    val written = spark.read.parquet(s"$dir/postings")
+    val emptyDocs = written.filter(col("term").isNull).count()
+    val postings = written.filter(col("term").isNotNull)
     val termStats = postings.groupBy(col("term"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
     termStats.write.mode("overwrite").parquet(s"$dir/termstats")
-    // sumTotalTermFreq folds over the (tiny) termstats table; docCount is
-    // the only aggregate that must rescan postings, and it reads just the
-    // docId column
+    // sumTotalTermFreq folds over the (tiny) termstats table; docCount
+    // needs only the corpus row count (cached by DocIds.assign)
     val writtenStats = spark.read.parquet(s"$dir/termstats")
     val sttfRow = writtenStats.agg(sum(col("cf"))).collect()(0)
-    val docCount = postings.select("docId").distinct().count()
+    val docCount = corpusWithIds.count() - emptyDocs
     val stats =
       if (sttfRow.isNullAt(0) || docCount == 0L) CorpusStats(0L, 0L)
       else CorpusStats(docCount, sttfRow.getLong(0))
@@ -228,7 +262,10 @@ object IndexBuilder {
     val hasSegments = meta.contains("\"hasSegments\":true")
     Index(
       corpus = spark.read.parquet(s"$dir/corpus"),
-      postings = spark.read.parquet(s"$dir/postings"),
+      // buildAndSave artifacts carry one null-term sentinel row per
+      // zero-token doc (docCount bookkeeping); the live view filters them
+      // (pushed to the scan, free on sentinel-less save() artifacts)
+      postings = spark.read.parquet(s"$dir/postings").filter(col("term").isNotNull),
       termStats = spark.read.parquet(s"$dir/termstats"),
       stats = CorpusStats(field("docCount").toLong, field("sumTotalTermFreq").toLong),
       analyzerName = field("analyzer"),

@@ -111,9 +111,17 @@ object Maintenance {
     val termStats = postings.groupBy(col("term"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // this action materializes the NEW postings cache (the scan below
+    // writes its blocks), so the predecessor's cache can be dropped next
     val row = postings
       .agg(countDistinct(col("docId")).as("docCount"), sum(col("tf")).as("sttf"))
       .collect()(0)
+    // cache hygiene: a mutation SUPERSEDES `old` — without this, a chain
+    // of N updates pins N index generations in executor storage. The old
+    // bundle stays queryable (its tables recompute from lineage), just
+    // uncached; its corpus is owned by DocIds/the caller and untouched.
+    old.postings.unpersist()
+    old.termStats.unpersist()
     val stats =
       if (row.isNullAt(0) || row.isNullAt(1)) CorpusStats(0L, 0L)
       else CorpusStats(row.getLong(0), row.getLong(1))

@@ -137,6 +137,14 @@ object Gate {
             |  AND s.doc_id NOT IN (SELECT doc_id FROM post WHERE term = 'spark')
             |ORDER BY s.tscore DESC, s.doc_id LIMIT 20""".stripMargin)),
 
+    GateQuery("bm25_pure_not",
+      // prohibited-only boolean matches NOTHING (Lucene BooleanQuery with
+      // only MUST_NOT clauses; the reference's MatchAll fallback applies
+      // only to EMPTY queries, SearchBucket.java:636-642)
+      (s, d) => topKDf(s, d, "-spark", Nil, 20),
+      Some("""SELECT doc_id, CAST(1.0 AS DOUBLE) AS score FROM documents
+             |WHERE 1 = 0 ORDER BY doc_id LIMIT 20""".stripMargin)),
+
     GateQuery("bm25_filter_lang",
       (s, d) => topKDf(s, d, "spark", Seq(FieldEquals("role", "en")), 20),
       sql("""SELECT s.doc_id, round(s.tscore, 4) AS score

@@ -19,6 +19,11 @@ object PipelineGate {
   /** Build the materialized ANN indexes once per sf dir (the build step
     * of an indexed ANN deployment; probes then prune to their buckets). */
   private val annCache = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** The materialized ANN index directory for an sf dir, when the gate
+    * has built one this session (Bench reports its on-disk footprint). */
+  def builtAnnDir(sfDir: String): Option[String] = annCache.get(sfDir)
+
   private def annDir(s: SparkSession, d: String): String =
     annCache.getOrElseUpdate(d, {
       val dir = java.nio.file.Files.createTempDirectory("graft-ann").toString
@@ -57,7 +62,11 @@ object PipelineGate {
              |GROUP BY substr(text, 1, 80) HAVING count(*) > 1 ORDER BY keep_id""".stripMargin)),
 
     GateQuery("neardup_jaccard",
-      (s, d) => Dedup.ngramJaccardPairs(docs(s, d), 5, 0.8).orderBy("ida", "idb"),
+      // cap=128 exercises the capped-exact skew-guard path (rare self-join
+      // + hot-array correction); the result must still hash-match the
+      // uncapped DuckDB oracle
+      (s, d) => Dedup.ngramJaccardPairs(docs(s, d), 5, 0.8, hotShingleDfCap = 128L)
+        .orderBy("ida", "idb"),
       Some(shingleCte +
         """, counts AS (
           |  SELECT a.doc_id da, b.doc_id db, count(*) AS common
@@ -75,8 +84,34 @@ object PipelineGate {
       None),
 
     GateQuery("neardup_simhash",
+      // fully deterministic (FNV-1a token hashes, ±1 bit votes, popcount)
+      // and the 16-bit-chunk blocking is LOSSLESS by pigeonhole for
+      // dist ≤ 3, so DuckDB replays the whole thing: fingerprints via
+      // HUGEINT mod-2^64 arithmetic, pairs via an a<b self-join + popcount
       (s, d) => Dedup.simhashPairs(docs(s, d), 3).orderBy("ida", "idb"),
-      None),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS tok
+             |  FROM documents
+             |), th AS (
+             |  SELECT doc_id, list_reduce(
+             |    list_prepend(14695981039346656037::HUGEINT,
+             |      list_transform(generate_series(1, length(tok)), i -> ascii(substr(tok, i, 1))::HUGEINT)),
+             |    (acc, x) -> (xor(acc::UBIGINT, x::UBIGINT)::HUGEINT * 1099511628211::HUGEINT)
+             |                % 18446744073709551616::HUGEINT) AS h
+             |  FROM toks
+             |), bits AS (
+             |  SELECT doc_id, b.b AS b,
+             |    sum(CASE WHEN (h::UBIGINT >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+             |  FROM th, (SELECT unnest(generate_series(0, 63)) AS b) b
+             |  GROUP BY doc_id, b.b
+             |), fp AS (
+             |  SELECT doc_id, sum(CASE WHEN vote > 0 THEN (1::UBIGINT << b)::HUGEINT ELSE 0::HUGEINT END)::UBIGINT AS f
+             |  FROM bits GROUP BY doc_id
+             |)
+             |SELECT a.doc_id AS ida, b.doc_id AS idb, CAST(bit_count(xor(a.f, b.f)) AS INT) AS dist
+             |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.f, b.f)) <= 3
+             |ORDER BY ida, idb""".stripMargin)),
 
     GateQuery("doc_quality",
       (s, d) => TextAnalysis.quality(docs(s, d)).orderBy("doc_id"),
@@ -146,7 +181,7 @@ object PipelineGate {
         val emb = embeddings(s, d)
         val q = emb.filter(col("vec_id") === 0)
           .select("embedding").head().getSeq[Float](0).toArray
-        AnnIndex.lshTopK(s, annDir(s, d), q, 10, excludeId = Some(0L))
+        AnnIndex.lshTopK(s, annDir(s, d), q, 10, emb, excludeId = Some(0L))
       },
       None),
 

@@ -38,10 +38,17 @@ final case class TermQuery(term: String) extends Query
   * CONSTANT_SCORE rewrite — SURVEY.md §7.4). */
 final case class WildcardQuery(pattern: String) extends Query {
   /** anchored regex equivalent of the lowercased pattern */
-  def regex: String = {
-    val lower = pattern.toLowerCase(java.util.Locale.ROOT)
+  def regex: String = WildcardQuery.regex(pattern, lowercase = true)
+}
+
+object WildcardQuery {
+  /** anchored regex for a wildcard pattern; the reference lowercases
+    * wildcard terms EXCEPT on `.exact` fields (SearchBucket.java:171-194,
+    * TestLucene.java:353-360 testLowercaseWildcard). */
+  def regex(pattern: String, lowercase: Boolean): String = {
+    val p = if (lowercase) pattern.toLowerCase(java.util.Locale.ROOT) else pattern
     val sb = new StringBuilder("^")
-    lower.foreach {
+    p.foreach {
       case '*' => sb.append(".*")
       case '?' => sb.append('.')
       case c if "\\.[]{}()<>+-=!?^$|".indexOf(c) >= 0 => sb.append('\\').append(c)
@@ -49,6 +56,19 @@ final case class WildcardQuery(pattern: String) extends Query {
     }
     sb.append('$').toString
   }
+}
+
+/** Field-qualified wildcard from `field:pa*ern` query syntax (the
+  * reference's StandardQueryParser produces a WildcardQuery on the named
+  * field, DocumentMapping.java:120-146). Matched against the attribute
+  * column with constant score 1.0 (multi-term CONSTANT_SCORE rewrite,
+  * like [[WildcardQuery]]); the pattern is lowercased UNLESS the field is
+  * an `.exact`/`_exact` case-preserving view (SearchBucket.java:171-194 —
+  * lowercaseWildcardQueries skips fields ending ".exact"). */
+final case class FieldWildcardQuery(field: String, pattern: String) extends Query {
+  def caseSensitive: Boolean =
+    field.endsWith(".exact") || field.endsWith("_exact")
+  def regex: String = WildcardQuery.regex(pattern, lowercase = !caseSensitive)
 }
 
 /** Keyword-field term from `field:value` query syntax: matches docs whose
@@ -127,7 +147,14 @@ object QueryText {
           else (None, rawBody)
         } else (None, rawBody)
       val node: Option[Query] = fieldOpt match {
-        case Some(f) => Some(FieldMatchQuery(f, body))
+        case Some(f) =>
+          // a wildcarded value on a keyword field is a fielded wildcard,
+          // not a literal equality (the reference's parser yields a
+          // WildcardQuery on the field — ADVICE r2; lowercased unless the
+          // field is a case-preserving .exact view)
+          if (body.exists(c => c == '*' || c == '?'))
+            Some(FieldWildcardQuery(f, body))
+          else Some(FieldMatchQuery(f, body))
         case None =>
           val isWildcard = body.exists(c => c == '*' || c == '?')
           val terms = if (isWildcard) Array(body) else analyze(body)
@@ -173,6 +200,24 @@ final case class SortSpec(fields: Seq[(String, Boolean)]) {
   * {doc, score?, fields[]} (reference: Lucene.java:1544-1561). */
 final case class AfterToken(docId: Long, score: Option[Float], fields: Seq[Any])
 
+/** fields[]-style joined-entity fetch option (reference: the `fields`
+  * request array parse, SearchBucket.java:755-778; ≤100 joined documents
+  * returned inline per hit, Lucene.java:869-901): fetch related corpus
+  * rows sharing the hit's `key` column value, at most `limit` per hit
+  * (clamped to the reference's cap of 100), docId-ascending. */
+final case class JoinFetchSpec(key: String, limit: Int = 100)
+
+/** One joined document's stored fields (no score — the reference returns
+  * joined entities unscored, Lucene.java:869-901). */
+final case class JoinedDoc(
+    docId: Long,
+    conv_id: String,
+    turn_idx: Int,
+    role: String,
+    text: String,
+    tool: Option[String],
+    ts: java.sql.Timestamp)
+
 final case class SearchRequest(
     text: Option[String] = None,
     filter: Map[String, Seq[String]] = Map.empty, // role / tool / conv_id
@@ -180,7 +225,8 @@ final case class SearchRequest(
     upper: Option[String] = None,
     sort: SortSpec = SortSpec(Nil),
     searchAfter: Option[AfterToken] = None,
-    maxResults: Int = 10)
+    maxResults: Int = 10,
+    joinFetch: Option[JoinFetchSpec] = None)
 
 final case class ScoredHit(
     docId: Long,
@@ -192,4 +238,9 @@ final case class ScoredHit(
     tool: Option[String],
     ts: java.sql.Timestamp)
 
-final case class SearchResponse(hits: Seq[ScoredHit], searchAfter: Option[AfterToken])
+final case class SearchResponse(
+    hits: Seq[ScoredHit],
+    searchAfter: Option[AfterToken],
+    /** per-hit joined documents (docId → related docs), populated when the
+      * request carried a [[JoinFetchSpec]] */
+    joined: Map[Long, Seq[JoinedDoc]] = Map.empty)

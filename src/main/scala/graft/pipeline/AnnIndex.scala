@@ -17,10 +17,17 @@ object AnnIndex {
   // ---------------- sign-LSH ----------------
 
   /** Build a banded sign-LSH index at `dir`: one row per (band, bucket,
-    * vector), written partitionBy(band, bv). */
+    * vector id), written partitionBy(band, bv).
+    *
+    * Storage/latency trade (round-3): by default bucket rows carry the
+    * vec_id ONLY — the index is `bands` × 8 bytes per vector instead of
+    * `bands` × the embedding bytes (4× the corpus at the defaults) — and
+    * a probe reranks via a join back to the embedding table.
+    * `storeVectors = true` inlines the vectors for zero-join probes at
+    * `bands`× the storage (the latency-lean deployment). */
   def buildLsh(emb: DataFrame, dir: String, numPlanes: Int = 16, bands: Int = 4,
                seed: Long = 42L, idCol: String = "vec_id",
-               vecCol: String = "embedding"): Unit = {
+               vecCol: String = "embedding", storeVectors: Boolean = false): Unit = {
     require(numPlanes % bands == 0)
     val rows = numPlanes / bands
     val dim = emb.select(size(col(vecCol))).head().getInt(0)
@@ -29,10 +36,12 @@ object AnnIndex {
     val sig = emb.withColumn("sig", Similarity.signatureCol(col(vecCol), planes))
     val bandArr = array((0 until bands).map(b =>
       shiftright(col("sig"), b * rows).bitwiseAND(lit(mask))): _*)
-    sig.select(col(idCol), col(vecCol), posexplode(bandArr).as(Seq("band", "bv")))
+    val payload = if (storeVectors) Seq(col(idCol), col(vecCol)) else Seq(col(idCol))
+    sig.select(payload :+ posexplode(bandArr).as(Seq("band", "bv")): _*)
       .write.mode("overwrite").partitionBy("band", "bv")
       .parquet(s"$dir/lsh_buckets")
-    val meta = s"""{"numPlanes":$numPlanes,"bands":$bands,"seed":$seed,"dim":$dim}"""
+    val meta = s"""{"numPlanes":$numPlanes,"bands":$bands,"seed":$seed,"dim":$dim,""" +
+      s""""storeVectors":${if (storeVectors) 1 else 0}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/lsh_meta.json"), meta)
   }
 
@@ -61,12 +70,25 @@ object AnnIndex {
 
   /** Probe the LSH index: candidates from the query's buckets only,
     * exact cosine rerank, top-k. Same candidate set as
-    * Similarity.lshTopK (docs sharing any band), without the full scan. */
+    * Similarity.lshTopK (docs sharing any band), without the full scan.
+    *
+    * `emb` backs the rerank when the index stores ids only (the default
+    * build): the tiny candidate-id set broadcasts into a join against the
+    * embedding table. A vector-carrying index (`storeVectors = true`)
+    * reranks straight off its pruned buckets and ignores `emb`. */
   def lshTopK(spark: SparkSession, dir: String, query: Array[Float], k: Int,
-              idCol: String = "vec_id", vecCol: String = "embedding",
+              emb: DataFrame, idCol: String = "vec_id",
+              vecCol: String = "embedding",
               excludeId: Option[Long] = None): DataFrame = {
-    var cands = lshProbeScan(spark, dir, query)
-      .select(col(idCol), col(vecCol)).distinct()
+    val meta = readMeta(s"$dir/lsh_meta.json")
+    val hasVectors = meta.get("storeVectors").exists(_.toInt == 1)
+    var cands =
+      if (hasVectors)
+        lshProbeScan(spark, dir, query).select(col(idCol), col(vecCol)).distinct()
+      else {
+        val ids = lshProbeScan(spark, dir, query).select(col(idCol)).distinct()
+        emb.join(broadcast(ids), idCol).select(col(idCol), col(vecCol))
+      }
     excludeId.foreach(i => cands = cands.filter(col(idCol) =!= i))
     cands
       .select(col(idCol), Similarity.cosineCol(col(vecCol), query).as("cos"))

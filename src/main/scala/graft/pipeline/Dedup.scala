@@ -59,59 +59,80 @@ object Dedup {
     * shingle (the blocking key), count common shingles per pair, then
     * jaccard = common / (|A| + |B| - common).
     *
-    * Skew guard: candidate pairs are generated only from shingles with
-    * document frequency ≤ `hotShingleDfCap`. A boilerplate shingle shared
-    * by d documents otherwise yields d² candidate rows — quadratic in the
-    * hottest key at corpus scale. Capped blocking stays sub-quadratic;
-    * the Jaccard itself stays EXACT: the rare self-join yields each
-    * pair's rare-shingle overlap, and an equi-joined correction adds the
-    * hot shingles the pair shares (touching candidates × per-doc hot
-    * rows, never d² of a hot shingle). A qualifying pair is missed only
-    * if EVERY shared shingle is hot — at jaccard ≥ threshold that needs
-    * the pair's whole shared content to be corpus boilerplate. */
+    * Optional skew guard (`hotShingleDfCap`, DEFAULT OFF): candidate pairs
+    * are generated only from shingles with document frequency ≤ cap. A
+    * boilerplate shingle shared by d documents otherwise yields d²
+    * candidate rows — quadratic in the hottest key at corpus scale.
+    * Capped blocking stays sub-quadratic; the Jaccard itself stays EXACT:
+    * the rare self-join yields each pair's rare-shingle overlap, and a
+    * per-doc hot-shingle-array intersection adds the hot shingles the
+    * pair shares (two id-keyed joins + array_intersect, bounded by the
+    * doc's own shingle count — never d² of a hot shingle). A qualifying
+    * pair is missed only if EVERY shared shingle is hot; how many docs
+    * are fully hot (invisible to blocking) is logged so the truncation is
+    * visible — route such docs through minhashLshPairs if they matter.
+    *
+    * The result is materialized eagerly (persisted + counted) so the
+    * shingle intermediates can be unpersisted before returning; the
+    * returned frame is persisted and owned by the caller. */
   def ngramJaccardPairs(df: DataFrame, n: Int, threshold: Double,
                         idCol: String = "doc_id", textCol: String = "text",
-                        hotShingleDfCap: Long = 128L): DataFrame = {
+                        hotShingleDfCap: Long = Long.MaxValue): DataFrame = {
     val sh = shingles(df, n, idCol, textCol).persist()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    val sdf = sh.groupBy("shingle").agg(count(lit(1)).as("sdf"))
-    // candidate pairs AND their rare-shingle overlap in one self-join:
-    // only shingles with df ≤ cap generate pair rows
-    val hotShingles = sdf.filter(col("sdf") > hotShingleDfCap).select("shingle")
-    val anyHot = hotShingles.limit(1).count() > 0
-    val rare =
-      if (anyHot) sh.join(sdf.filter(col("sdf") <= hotShingleDfCap).select("shingle"), "shingle")
-      else sh
-    val commonRare0 = rare.select(col("id").as("ida"), col("shingle"))
-      .join(rare.select(col("id").as("idb"), col("shingle")), "shingle")
-      .where(col("ida") < col("idb"))
-      .groupBy("ida", "idb").agg(count(lit(1)).as("common_rare"))
+    val capped = hotShingleDfCap != Long.MaxValue
+    // hot shingles are FEW (≤ total shingle rows / cap distinct) — AQE
+    // broadcasts the anti/semi side; sh is never shuffled whole
+    lazy val hotShingles = sh.groupBy("shingle").agg(count(lit(1)).as("sdf"))
+      .filter(col("sdf") > hotShingleDfCap).select("shingle")
     val common =
-      if (!anyHot) commonRare0.withColumnRenamed("common_rare", "common")
-      else {
-        // exact correction: hot shingles shared by a candidate pair. Hot
-        // rows are few per doc (bounded by the doc's hot-shingle count),
-        // so this join touches candidates × hot rows, never d² of a hot
-        // shingle. commonRare feeds both sides — persist it.
-        val commonRare = commonRare0.persist()
-        val hotRows = sh.join(hotShingles, "shingle")
-        val commonHot = commonRare.select("ida", "idb")
-          .join(hotRows.select(col("id").as("ida"), col("shingle").as("ga")), "ida")
-          .join(hotRows.select(col("id").as("idbr"), col("shingle").as("gb")),
-            col("idb") === col("idbr") && col("ga") === col("gb"))
-          .groupBy("ida", "idb").agg(count(lit(1)).as("common_hot"))
+      if (!capped) {
+        sh.select(col("id").as("ida"), col("shingle"))
+          .join(sh.select(col("id").as("idb"), col("shingle")), "shingle")
+          .where(col("ida") < col("idb"))
+          .groupBy("ida", "idb").agg(count(lit(1)).as("common"))
+      } else {
+        val rare = sh.join(hotShingles, Seq("shingle"), "left_anti")
+        val commonRare = rare.select(col("id").as("ida"), col("shingle"))
+          .join(rare.select(col("id").as("idb"), col("shingle")), "shingle")
+          .where(col("ida") < col("idb"))
+          .groupBy("ida", "idb").agg(count(lit(1)).as("common_rare"))
+        // exact correction: per-doc hot-shingle arrays (distinct by
+        // construction), intersected per candidate pair — two id-keyed
+        // joins, no shingle-keyed expansion
+        val hotPerDoc = sh.join(hotShingles, Seq("shingle"), "left_semi")
+          .groupBy("id").agg(collect_list(col("shingle")).as("hs"))
         commonRare
-          .join(commonHot, Seq("ida", "idb"), "left")
-          .withColumn("common", col("common_rare") + coalesce(col("common_hot"), lit(0L)))
-          .drop("common_rare", "common_hot")
+          .join(hotPerDoc.select(col("id").as("ida"), col("hs").as("ha")), Seq("ida"), "left")
+          .join(hotPerDoc.select(col("id").as("idb"), col("hs").as("hb")), Seq("idb"), "left")
+          .withColumn("common", col("common_rare") +
+            when(col("ha").isNotNull && col("hb").isNotNull,
+              size(array_intersect(col("ha"), col("hb"))).cast("long")).otherwise(lit(0L)))
+          .select("ida", "idb", "common")
       }
-    common
+    val out = common
       .join(sizes.toDF("ida", "sza"), "ida")
       .join(sizes.toDF("idb", "szb"), "idb")
       .withColumn("jaccard",
         col("common") * lit(1.0) / (col("sza") + col("szb") - col("common")))
       .where(col("jaccard") >= threshold)
       .select(col("ida"), col("idb"), round(col("jaccard"), 4).as("jaccard"))
+      .persist()
+    out.count() // materialize before dropping the shingle cache
+    if (capped) {
+      // truncation visibility: a doc whose EVERY shingle is hot generates
+      // no candidate pairs at all — count and log them
+      val hotCounts = sh.join(hotShingles, Seq("shingle"), "left_semi")
+        .groupBy("id").agg(count(lit(1)).as("nhot"))
+      val allHot = sizes.join(hotCounts, "id")
+        .filter(col("nhot") === col("sz")).count()
+      if (allHot > 0)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"ngramJaccardPairs: $allHot doc(s) have only hot shingles " +
+            s"(df > $hotShingleDfCap) and generated no candidate pairs")
+    }
+    sh.unpersist()
+    out
   }
 
   /** MinHash signature aggregator: per doc, elementwise min over the

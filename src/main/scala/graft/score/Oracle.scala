@@ -70,6 +70,15 @@ final class NaiveOracle(docs: Seq[NaiveOracle.Doc]) {
         case other     => sys.error(s"unknown keyword field $other")
       }
       if (m) Some(1.0f) else None
+    case w: FieldWildcardQuery =>
+      val re = w.regex.r
+      val value: Option[String] = w.field match {
+        case "role"    => Some(d.role)
+        case "tool"    => d.tool
+        case "conv_id" => Some(d.convId)
+        case other     => sys.error(s"unknown keyword field $other")
+      }
+      if (value.exists(v => re.findFirstIn(v).isDefined)) Some(1.0f) else None
     case BoolQuery(must, should, mustNot, filter) =>
       if (!filter.forall(matchesAttr(_, d))) return None
       if (mustNot.exists(scoreDoc(_, d).isDefined)) return None
@@ -78,8 +87,12 @@ final class NaiveOracle(docs: Seq[NaiveOracle.Doc]) {
       val shouldScores = should.flatMap(scoreDoc(_, d))
       val all = mustScores.flatten ++ shouldScores
       if (all.isEmpty) {
-        // no scoring clauses at all: pure filter/mustNot query matches all
-        if (must.isEmpty && should.isEmpty) Some(1.0f) else None
+        // no scoring clauses at all: a pure-FILTER query matches all, but a
+        // prohibited-only query (must/should empty, mustNot nonempty)
+        // matches NOTHING — Lucene BooleanQuery semantics; the reference's
+        // MatchAll fallback applies only to EMPTY queries
+        // (SearchBucket.java:636-642).
+        if (must.isEmpty && should.isEmpty && mustNot.isEmpty) Some(1.0f) else None
       } else {
         var acc = 0d
         all.foreach(s => acc += s)

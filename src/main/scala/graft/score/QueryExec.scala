@@ -114,8 +114,28 @@ final class QueryExec(val index: Index, val exact: Boolean = false) {
     case FieldMatchQuery(f, v) =>
       // keyword-field term: constant score 1.0 over docs whose attribute
       // equals the value (reference exact-field semantics,
-      // SearchBucket.java:438-452; constant score as with wildcards)
-      applyFilters(index.corpus.filter(col(f) === lit(v)), filters)
+      // SearchBucket.java:438-452; constant score as with wildcards). An
+      // ARRAY column (a PathFields `_exact` hierarchy view) matches when
+      // any prefix token equals the value, case-sensitively.
+      val eqCond = index.corpus.schema(f).dataType match {
+        case _: org.apache.spark.sql.types.ArrayType => array_contains(col(f), v)
+        case _                                       => col(f) === lit(v)
+      }
+      applyFilters(index.corpus.filter(eqCond), filters)
+        .select(col("docId"), one.as("score"))
+    case w: FieldWildcardQuery =>
+      // fielded wildcard against the attribute column: case-sensitive
+      // rlike of the (conditionally lowercased) pattern regex — raw
+      // keyword values are indexed unlowered, exactly the reference's
+      // behavior of lowercasing the PATTERN, not the terms. An ARRAY
+      // column (a PathFields `_exact` hierarchy view) matches when any
+      // element does.
+      val cond = index.corpus.schema(w.field).dataType match {
+        case _: org.apache.spark.sql.types.ArrayType =>
+          exists(col(w.field), t => t.rlike(w.regex))
+        case _ => col(w.field).rlike(w.regex)
+      }
+      applyFilters(index.corpus.filter(cond), filters)
         .select(col("docId"), one.as("score"))
     case TermQuery(t) =>
       matches(BoolQuery(should = Seq(TermQuery(t))), filters)
@@ -129,6 +149,12 @@ final class QueryExec(val index: Index, val exact: Boolean = false) {
       scan.select(col("docId")).distinct()
         .withColumn("score", one)
     case bq: BoolQuery =>
+      // Lucene BooleanQuery with ONLY prohibited clauses matches nothing:
+      // the reference falls back to MatchAllDocsQuery only when the query
+      // is EMPTY (SearchBucket.java:636-642), never for `-term` alone —
+      // a pure-negative query has no scoring/required leg to seed from.
+      if (bq.must.isEmpty && bq.should.isEmpty && bq.mustNot.nonEmpty)
+        return matches(MatchNone, filters)
       val withFilters =
         if (bq.filter.nonEmpty) bq.copy(filter = Nil) else bq
       val allFilters = filters ++ bq.filter

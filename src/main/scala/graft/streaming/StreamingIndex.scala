@@ -18,10 +18,13 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * the batch IndexBuilder, so the streaming path inherits its scale
   * behavior. Streaming docIds are xxhash64(conv_id, turn_idx) surrogates
   * over the FULL key pair — no bit-packing, so a conversation of any
-  * length cannot bleed into another's id space; the natural key columns
-  * ride along so batch compaction can re-densify ids (and detect the
-  * ~2^-64-per-pair hash collisions) exactly as the reference re-keys from
-  * the upstream entity store.
+  * length cannot bleed into another's id space. NOTE the birthday bound:
+  * at ~10^10 turns a 64-bit surrogate expects ~n²/2^65 collisions in
+  * aggregate (a handful, not "never") — two colliding turns silently
+  * merge their postings until compaction. That is why the natural key
+  * columns ride along: [[compact]] re-densifies ids from the carried
+  * (conv_id, turn_idx) keys and FAILS LOUDLY on any surrogate collision,
+  * exactly as the reference re-keys from the upstream entity store.
   */
 object StreamingIndex {
 
@@ -42,6 +45,51 @@ object StreamingIndex {
         explode(col("a._1")).as(Seq("term", "tf")),
         col("role"), col("tool"), col("ts"))
       .withColumn("tf", col("tf").cast("int"))
+  }
+
+  /** Batch compaction of a streamed postings table: re-mints DENSE docIds
+    * (the batch builder's stable (conv_id, turn_idx) ordering) from the
+    * natural keys carried on every streamed posting row, rewrites postings
+    * onto the dense ids, and verifies no two distinct natural keys
+    * collided on one xxhash64 surrogate (throws if any did — colliding
+    * turns had silently merged postings and must be re-analyzed).
+    *
+    * `turns` is the corpus the stream ingested (the watched directory's
+    * rows); postings are NOT re-analyzed — compaction is a key rewrite:
+    * one distinct pass for the collision check, one DocIds.assign over
+    * the turns, one (conv_id, turn_idx)-keyed join. The result is an
+    * Index equal to an all-batch build over the same turns.
+    */
+  def compact(streamed: DataFrame, turns: org.apache.spark.sql.Dataset[graft.model.Turn],
+              analyzer: TextAnalyzer = Analyzers.Icat): graft.build.Index = {
+    val spark = streamed.sparkSession
+    // surrogate-collision check: a surrogate docId must map to exactly ONE
+    // natural key pair
+    val collided = streamed.select("docId", "conv_id", "turn_idx").distinct()
+      .groupBy("docId").agg(count(lit(1)).as("nkeys"))
+      .filter(col("nkeys") > 1)
+      .limit(20).collect()
+    require(collided.isEmpty,
+      s"xxhash64 surrogate collision on docIds ${collided.map(_.getLong(0)).mkString(",")} — " +
+        "re-analyze the colliding conversations")
+    val corpus = graft.corpus.DocIds.forTurns(turns)
+    val mapping = corpus.select(
+      col("docId").as("__denseId"), col("conv_id"), col("turn_idx"))
+    val postings = streamed
+      .join(mapping, Seq("conv_id", "turn_idx"))
+      .select(col("__denseId").as("docId"), col("norm"), col("term"), col("tf"),
+        col("role"), col("tool"), col("ts"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val termStats = postings.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val row = postings
+      .agg(countDistinct(col("docId")).as("docCount"), sum(col("tf")).as("sttf"))
+      .collect()(0)
+    val stats =
+      if (row.isNullAt(0) || row.isNullAt(1)) graft.build.CorpusStats(0L, 0L)
+      else graft.build.CorpusStats(row.getLong(0), row.getLong(1))
+    graft.build.Index(corpus, postings, termStats, stats, analyzer.name)
   }
 
   /** Start a streaming append: watch `inDir` for new turn parquet files,

@@ -1,0 +1,54 @@
+package graft.tools
+
+import graft.api.{Json, SearchEngine}
+import graft.corpus.TranscriptGen
+import org.apache.spark.sql.SparkSession
+
+/** Throwaway verification drive: exercises the round-3 surface through
+  * the PUBLIC api (JSON request → engine → JSON response). */
+object VerifyDrive {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val engine = SearchEngine.build(TranscriptGen.tiny(spark))
+
+    def run(tag: String, json: String): Unit = {
+      val out = try {
+        val resp = engine.search(Json.parseRequest(json))
+        Json.renderResponse(resp)
+      } catch { case e: Throwable => s"EXCEPTION ${e.getClass.getSimpleName}: ${e.getMessage}" }
+      println(s"== $tag ==")
+      println(out.take(500))
+    }
+
+    run("joinFetch happy path",
+      """{"query":{"text":"needle_3"},"maxResults":2,"joinFetch":{"key":"conv_id","limit":2}}""")
+    run("pure-negative query (-term) must match NOTHING",
+      """{"query":{"text":"-ambiguous"},"maxResults":5}""")
+    run("fielded wildcard role:us* (lowercased pattern)",
+      """{"query":{"text":"+needle_3 +role:us*"},"maxResults":3}""")
+    run("PROBE: joinFetch limit 5000 clamps to 100",
+      """{"query":{"text":"needle_3"},"maxResults":1,"joinFetch":{"key":"role","limit":5000}}""")
+    run("PROBE: joinFetch on unknown column",
+      """{"query":{"text":"needle_3"},"maxResults":1,"joinFetch":{"key":"nope","limit":2}}""")
+    run("PROBE: joinFetch missing key field is ignored",
+      """{"query":{"text":"needle_3"},"maxResults":1,"joinFetch":{"limit":2}}""")
+    run("PROBE: wildcard matching nothing role:zz*",
+      """{"query":{"text":"needle_3 role:zz*"},"maxResults":2}""")
+    // facet single-pass through the facade
+    println("== facets (single pass) ==")
+    println(engine.facetJson(graft.model.SearchRequest(text = Some("ambiguous")), Seq("role", "tool")))
+    // timeout path: generous budget → Right
+    println("== searchWithTimeout 30s ==")
+    println(engine.searchWithTimeout(graft.model.SearchRequest(text = Some("needle_3")), 30)
+      .map(_.hits.size))
+    // count joined sizes for the clamp probe
+    val resp = engine.search(Json.parseRequest(
+      """{"query":{"text":"needle_3"},"maxResults":1,"joinFetch":{"key":"role","limit":5000}}"""))
+    println(s"== clamp check: joined sizes = ${resp.joined.values.map(_.size).toList} (must be <=100) ==")
+    spark.stop()
+  }
+}

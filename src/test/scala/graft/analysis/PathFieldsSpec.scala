@@ -108,6 +108,33 @@ class PathFieldsSpec extends SparkSuite {
         (dft("AB00") || dft("DE00")) && dft("txt")) === 2L)
   }
 
+  test("query-string fielded wildcards reach the case-preserved exact view") {
+    import graft.model._
+    import spark.implicits._
+    // corpus carrying the hierarchy view as a queryable column
+    val corpus = PathFields.expand(
+        locations.zipWithIndex.toDF("location", "i"), "location")
+      .withColumn("docId", col("i").cast("long"))
+    val idx = graft.build.Index(corpus, spark.emptyDataFrame,
+      spark.emptyDataFrame, graft.build.CorpusStats(4L, 4L), "simple")
+    val exec = new graft.score.QueryExec(idx)
+    def q(text: String): Query =
+      QueryText.parse(text, s => Analyzers.Simple(s).terms,
+        keywordFields = Set("location_exact"))
+    // goldens 12 + 15-16 (TestLucene.java:403-409) through the PARSED
+    // query-string path: wildcard hierarchy match, case preserved on the
+    // _exact view (lowercaseWildcardQueries skips .exact fields)
+    assert(exec.matches(q("location_exact:/dls/*/data/20??/ab*")).count() === 2L)
+    assert(exec.matches(
+      q("location_exact:/dls/i00/data/2000/ab00000-0/screening/ABC")).count() === 2L)
+    assert(exec.matches(
+      q("location_exact:/dls/i00/data/2000/ab00000-0/screening/abc")).count() === 0L)
+    assert(exec.matches(
+      q("location_exact:/dls/i00/data/2000/ab00000-0/screening/AB*")).count() === 2L)
+    assert(exec.matches(
+      q("location_exact:/dls/i00/data/2000/ab00000-0/screening/ab*")).count() === 0L)
+  }
+
   test("PathHierarchy analyzer emits prefixes as terms") {
     val a = Analyzers.PathHierarchy("/x/y/z.txt")
     assert(a.terms.toSeq === Seq("/x", "/x/y", "/x/y/z.txt"))

@@ -39,6 +39,58 @@ class ApiSpec extends SparkSuite {
     assert((resp.hits.map(_.docId).toSet intersect page2.hits.map(_.docId).toSet).isEmpty)
   }
 
+  test("maintenance chain keeps ONE index generation cached") {
+    import org.apache.spark.storage.StorageLevel
+    val base = SearchEngine.build(TranscriptGen.tiny(spark), Analyzers.Icat).index
+    assert(base.postings.storageLevel !== StorageLevel.NONE)
+    val g1 = Maintenance.deleteDocs(base, Seq(0L))
+    assert(base.postings.storageLevel === StorageLevel.NONE)
+    assert(base.termStats.storageLevel === StorageLevel.NONE)
+    assert(g1.postings.storageLevel !== StorageLevel.NONE)
+    val g2 = Maintenance.deleteDocs(g1, Seq(1L))
+    assert(g1.postings.storageLevel === StorageLevel.NONE)
+    assert(g1.termStats.storageLevel === StorageLevel.NONE)
+    assert(g2.postings.storageLevel !== StorageLevel.NONE)
+    // superseded generations stay queryable — they recompute from lineage
+    assert(g1.postings.filter(org.apache.spark.sql.functions.col("docId") === 2L).count() > 0)
+    assert(g2.stats.docCount === base.stats.docCount - 2)
+  }
+
+  test("joinFetch round trip: ≤limit related docs per hit, inline in JSON") {
+    val req = Json.parseRequest(
+      """{"query":{"text":"needle_3"},"maxResults":3,
+        |"joinFetch":{"key":"conv_id","limit":2}}""".stripMargin)
+    assert(req.joinFetch === Some(JoinFetchSpec("conv_id", 2)))
+    val resp = engine.search(req)
+    assert(resp.hits.nonEmpty)
+    resp.hits.foreach { h =>
+      val rel = resp.joined.getOrElse(h.docId, Nil)
+      assert(rel.nonEmpty) // the hit's own conversation always has rows
+      assert(rel.size <= 2)
+      assert(rel.forall(_.conv_id == h.conv_id))
+      assert(rel.map(_.docId) === rel.map(_.docId).sorted) // docId asc
+    }
+    assert(Json.renderResponse(resp).contains(""","joined":[{"id":"""))
+    // no joinFetch → no joined map, JSON unchanged
+    val plain = engine.search(req.copy(joinFetch = None))
+    assert(plain.joined.isEmpty)
+    assert(!Json.renderResponse(plain).contains(""""joined""""))
+  }
+
+  test("single-pass facetStrings equals the per-dim variant and scans once") {
+    val req = SearchRequest(text = Some("ambiguous"))
+    val dims = Seq("role", "tool")
+    assert(engine.facetStrings(req, dims) === engine.facetStringsPerDim(req, dims))
+    // a MatchAll request isolates the facet aggregation in the plan:
+    // ONE explode (Generate) + ONE aggregation (partial+final pair) for
+    // ALL dims, instead of one aggregation job per dim
+    val plan = engine.facetFrame(SearchRequest(), Seq("role", "tool", "conv_id"), 10)
+      .queryExecution.executedPlan.toString
+    def occurrences(s: String, sub: String): Int = s.sliding(sub.length).count(_ == sub)
+    assert(occurrences(plan, "Generate explode") === 1, plan.take(800))
+    assert(occurrences(plan, "HashAggregate") === 2, plan.take(800))
+  }
+
   test("facet JSON mirrors the reference aggregation shape") {
     val json = engine.facetJson(SearchRequest(text = Some("ambiguous")), Seq("role"))
     assert(json.startsWith("""{"aggregations":{"role":{"buckets":{"""))

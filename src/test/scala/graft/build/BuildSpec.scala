@@ -31,6 +31,29 @@ class BuildSpec extends SparkSuite {
     assert(loaded.analyzerName === "icat")
   }
 
+  test("buildAndSave docCount excludes zero-token docs (Terms.getDocCount semantics)") {
+    import spark.implicits._
+    val ts = new java.sql.Timestamp(0L)
+    val turns = Seq(
+      graft.model.Turn("c1", 0, "user", "hello world graft", None, ts),
+      graft.model.Turn("c1", 1, "user", "the and that", None, ts), // all stopwords
+      graft.model.Turn("c2", 0, "user", "!!! ???", None, ts),    // no tokens at all
+      graft.model.Turn("c2", 1, "user", "hello again graft", None, ts)).toDS()
+    val c = DocIds.forTurns(turns)
+    val built = IndexBuilder.build(c, Analyzers.Icat)
+    val dir = java.nio.file.Files.createTempDirectory("graft-empty").toString
+    val saved = IndexBuilder.buildAndSave(c, Analyzers.Icat, dir, hotDfThreshold = 50L)
+    assert(built.stats.docCount === 2L)
+    assert(saved.stats === built.stats)
+    // sentinel rows exist in the artifact but never in a live view
+    assert(spark.read.parquet(s"$dir/postings").filter(col("term").isNull).count() === 2L)
+    assert(saved.postings.filter(col("term").isNull).count() === 0L)
+    val loaded = IndexBuilder.load(spark, dir)
+    assert(loaded.postings.filter(col("term").isNull).count() === 0L)
+    assert(loaded.stats.docCount === 2L)
+    assert(loaded.termStats.filter(col("term").isNull).count() === 0L)
+  }
+
   test("salted term-major build ≡ unsalted build (any salt bucket count)") {
     val unsalted = SaltedPostings.build(index.postings, index.termStats,
       hotDfThreshold = Long.MaxValue, saltBuckets = 1)

@@ -11,11 +11,16 @@ class GateSpec extends SparkSuite {
 
   private val sfDir = "/root/testdata/sf0.001"
 
+  /** Gate queries whose CORRECT result is empty (their oracle returns the
+    * same zero rows — e.g. prohibited-only boolean matches nothing). */
+  private val expectedEmpty = Set("bm25_pure_not")
+
   (Gate.all ++ PipelineGate.all).foreach { gq =>
     test(s"gate query ${gq.name} runs and returns rows") {
       val df = gq.fn(spark, sfDir)
       val n = df.count()
-      assert(n > 0, s"${gq.name} returned no rows")
+      if (expectedEmpty(gq.name)) assert(n === 0L, s"${gq.name} should match nothing")
+      else assert(n > 0, s"${gq.name} returned no rows")
       // column names must be stable (the driver hashes by sorted name)
       assert(df.columns.nonEmpty && df.columns.forall(_.nonEmpty))
     }
@@ -33,7 +38,8 @@ class GateSpec extends SparkSuite {
       val froms = "(?i)FROM\\s+([a-z_]+)".r.findAllMatchIn(sql).map(_.group(1)).toSet
       val unknown = froms -- tables --
         Set("toks", "dl", "dlq", "stats", "post", "tstat", "scores", "arr", "sh",
-          "sizes", "counts", "documents", "events", "embeddings", "w")
+          "sizes", "counts", "documents", "events", "embeddings", "w",
+          "th", "bits", "fp")
       assert(unknown.isEmpty, s"oracle references unknown tables: $unknown")
     }
   }

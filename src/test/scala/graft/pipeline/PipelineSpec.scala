@@ -69,11 +69,26 @@ class PipelineSpec extends SparkSuite {
     val plan = AnnIndex.lshProbeScan(spark, dir, q).queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("band"), plan.take(500))
     // result parity with the per-query scan implementation
-    val idxTop = AnnIndex.lshTopK(spark, dir, q, 10, excludeId = Some(0L))
+    val idxTop = AnnIndex.lshTopK(spark, dir, q, 10, emb, excludeId = Some(0L))
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     val scanTop = Similarity.lshTopK(emb, q, 10, excludeId = Some(0L))
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(idxTop === scanTop)
+    // footprint: the default ids-only index is a fraction of the
+    // vector-carrying variant; both probe modes agree
+    val dirV = java.nio.file.Files.createTempDirectory("graft-ann-vec").toString
+    AnnIndex.buildLsh(emb, dirV, storeVectors = true)
+    def dirBytes(p: String): Long = {
+      val root = java.nio.file.Paths.get(p)
+      val s = java.nio.file.Files.walk(root)
+      try s.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size(_)).sum()
+      finally s.close()
+    }
+    assert(dirBytes(s"$dir/lsh_buckets") < dirBytes(s"$dirV/lsh_buckets") / 2)
+    val vecTop = AnnIndex.lshTopK(spark, dirV, q, 10, emb, excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(vecTop === idxTop)
   }
 
   test("materialized IVF index: probe prunes cells and recovers brute-force top-k") {
@@ -99,7 +114,7 @@ class PipelineSpec extends SparkSuite {
     // cap far above this corpus's max shingle df (3): identical results
     val uncapped = Dedup.ngramJaccardPairs(docs, 5, 0.8, hotShingleDfCap = Long.MaxValue)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val capped = Dedup.ngramJaccardPairs(docs, 5, 0.8)
+    val capped = Dedup.ngramJaccardPairs(docs, 5, 0.8, hotShingleDfCap = 128L)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(capped === uncapped)
     assert(capped.nonEmpty)

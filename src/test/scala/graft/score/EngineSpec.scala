@@ -94,6 +94,34 @@ class EngineSpec extends SparkSuite {
   test("wildcard as MUST with NOT") { checkParity("+needle_* -ambiguous", k = 30) }
   test("ambiguous length-normalization (norm quantization)") { checkParity("ambiguous", k = 50) }
 
+  test("q18 fielded wildcards: lowercased pattern on keyword fields") {
+    // the parser yields a FieldWildcardQuery, not a literal equality
+    assert(parse("role:us*") === BoolQuery(should = Seq(FieldWildcardQuery("role", "us*"))))
+    // reference testLowercaseWildcard shape (TestLucene.java:353-360):
+    // non-.exact fields lowercase the wildcard pattern
+    assert(FieldWildcardQuery("role", "US?R").regex === "^us.r$")
+    assert(FieldWildcardQuery("location_exact", "/dls/*/ABC").regex === "^/dls/.*/ABC$")
+    checkParity("role:us*r ambiguous", k = 30)
+    checkParity("+ambiguous +tool:ba*", k = 20)
+    checkParity("ambiguous -role:assis*", k = 20)
+    checkParity("role:USE?  ambiguous", k = 20) // pattern lowercased
+  }
+
+  test("q17 prohibited-only query matches nothing (Lucene BooleanQuery semantics)") {
+    // `-term` alone: no scoring/required leg — matches NOTHING, not
+    // "everything except term" (the MatchAll fallback is only for EMPTY
+    // queries, SearchBucket.java:636-642)
+    val q = parse("-ambiguous")
+    assert(oracle.topK(q, Nil, 10).isEmpty)
+    assert(engineTopK(q, Nil, 10).isEmpty)
+    val q2 = parse("-ambiguous -needle_3")
+    assert(oracle.topK(q2, Nil, 10).isEmpty)
+    assert(engineTopK(q2, Nil, 10).isEmpty)
+    // but mustNot alongside a FILTER predicate still matches nothing
+    // (no scoring clause), while a pure filter-only request matches all
+    assert(engineTopK(q, Seq(FieldEquals("role", "user")), 10).isEmpty)
+  }
+
   test("q08 search_after pagination: pages concatenate to unpaginated prefix") {
     val q = parse("ambiguous")
     val full = oracle.topK(q, Nil, 15)

@@ -45,5 +45,40 @@ class StreamingSpec extends SparkSuite {
     val after = spark.read.parquet(outDir)
     assert(after.select("docId").distinct().count() >
       streamed.select("docId").distinct().count())
+
+    // ---- compaction: re-densify surrogate ids → equals the all-batch
+    // build over the same turns ----
+    import spark.implicits._
+    val allTurns = spark.read.parquet(inDir).as[graft.model.Turn]
+    val compacted = StreamingIndex.compact(after, allTurns)
+    val batchIdx = graft.build.IndexBuilder.build(
+      graft.corpus.DocIds.forTurns(allTurns), Analyzers.Icat)
+    def postKey(df: org.apache.spark.sql.DataFrame) =
+      df.select("term", "docId", "tf", "norm").orderBy("term", "docId")
+        .collect().map(_.toSeq).toSeq
+    assert(postKey(compacted.postings) === postKey(batchIdx.postings))
+    assert(compacted.stats === batchIdx.stats)
+    // dense ids: 0..n-1
+    val ids = compacted.corpus.select("docId").collect().map(_.getLong(0)).sorted
+    assert(ids.head === 0L && ids.last === ids.length - 1L)
+  }
+
+  test("compaction fails loudly on a surrogate docId collision") {
+    import spark.implicits._
+    // two DISTINCT natural keys forged onto one surrogate id
+    val streamed = Seq(
+      (7L, "conv-a", 0, 1.toByte, "hello", 1, "user", null.asInstanceOf[String],
+        new java.sql.Timestamp(0L)),
+      (7L, "conv-b", 3, 1.toByte, "world", 1, "user", null.asInstanceOf[String],
+        new java.sql.Timestamp(0L)))
+      .toDF("docId", "conv_id", "turn_idx", "norm", "term", "tf", "role", "tool", "ts")
+    val turns = Seq(
+      graft.model.Turn("conv-a", 0, "user", "hello", None, new java.sql.Timestamp(0L)),
+      graft.model.Turn("conv-b", 3, "user", "world", None, new java.sql.Timestamp(0L)))
+      .toDS()
+    val e = intercept[IllegalArgumentException] {
+      StreamingIndex.compact(streamed, turns)
+    }
+    assert(e.getMessage.contains("collision"))
   }
 }
