@@ -12,8 +12,29 @@ package graft.analysis
   */
 final case class Analyzed(terms: Array[String], positions: Int)
 
+/** One token with its Lucene position (stopword removal leaves gaps —
+  * StopFilter accumulates positionIncrement; synonym-injected tokens
+  * share the position of the token they expand). */
+final case class PosTerm(term: String, pos: Int)
+
+/** Position-annotated analysis result; `positions` is the same
+  * norm-length count as [[Analyzed.positions]] (tokens/slots consumed,
+  * NOT max position — gaps don't add length, Lucene discountOverlaps). */
+final case class PosAnalyzed(terms: Array[PosTerm], positions: Int)
+
 trait TextAnalyzer extends Serializable {
   def apply(text: String): Analyzed
+
+  /** Position-annotated analysis (the token stream Lucene indexes for
+    * proximity/phrase queries). Default: contiguous positions — correct
+    * for chains with no stop/synonym filter; Icat chains override. The
+    * emitted term SEQUENCE is always identical to `apply(text).terms`. */
+  def positional(text: String): PosAnalyzed = {
+    val a = apply(text)
+    PosAnalyzed(a.terms.zipWithIndex.map { case (t, i) => PosTerm(t, i) },
+      a.positions)
+  }
+
   /** Name used to key persisted index metadata so query-time analysis
     * always matches index-time analysis. */
   def name: String
@@ -57,12 +78,32 @@ object Analyzers {
     out.toArray
   }
 
+  /** Gap-aware positional Icat chain: position = RAW token index, so a
+    * removed stopword leaves a position hole exactly like Lucene's
+    * StopFilter positionIncrement accumulation (pinned by the reference's
+    * phrase golden `"path ? data …"`, TestLucene.java:144-171). */
+  def icatTokensPos(text: String): Array[PosTerm] = {
+    val raw = WordBreak.tokenize(text)
+    val out = new scala.collection.mutable.ArrayBuffer[PosTerm](raw.length)
+    var i = 0
+    while (i < raw.length) {
+      val t = lowercase(stripPossessive(raw(i)))
+      if (!ScientificStopWords.contains(t)) out += PosTerm(PorterStemmer.stem(t), i)
+      i += 1
+    }
+    out.toArray
+  }
+
   /** IcatAnalyzer equivalent: full-text analysis without synonyms. */
   object Icat extends TextAnalyzer {
     val name = "icat"
     def apply(text: String): Analyzed = {
       val toks = icatTokens(text)
       Analyzed(toks, toks.length)
+    }
+    override def positional(text: String): PosAnalyzed = {
+      val toks = icatTokensPos(text)
+      PosAnalyzed(toks, toks.length)
     }
   }
 
@@ -75,6 +116,10 @@ object Analyzers {
     def apply(text: String): Analyzed = {
       val (toks, positions) = synonyms(icatTokens(text))
       Analyzed(toks, positions)
+    }
+    override def positional(text: String): PosAnalyzed = {
+      val (toks, positions) = synonyms.applyPositional(icatTokensPos(text))
+      PosAnalyzed(toks, positions)
     }
   }
 

@@ -84,6 +84,76 @@ final class SynonymSet private (
     }
     (out.toArray, positions)
   }
+
+  /** Position-annotated synonym injection over a gap-aware token stream.
+    * Same matching and emission order as [[apply]]; additionally lays the
+    * graph out on Lucene positions (pinned by the reference phrase golden
+    * `location:"path ? data (mr molecular) replac file.txt"`,
+    * TestLucene.java:144-171):
+    *
+    *  - an unmatched token keeps its incoming position (+ cumulative
+    *    shift), so stopword gaps survive;
+    *  - a match starting at incoming position p lays its `slots`-wide
+    *    graph on positions p..p+slots-1 (alternatives share slot starts);
+    *  - a multi-token expansion of a shorter key CONSUMES extra slots:
+    *    every later token shifts right by (slots - key span), exactly as
+    *    an unflattened SynonymGraphFilter stream indexes.
+    *
+    * Returns (tokens, positionCount) with positionCount identical to
+    * [[apply]]'s (slots consumed, gaps excluded). */
+  def applyPositional(tokens: Array[PosTerm]): (Array[PosTerm], Int) = {
+    if (rules.isEmpty) return (tokens, tokens.length)
+    val out = mutable.ArrayBuffer.empty[PosTerm]
+    var positions = 0
+    var shift = 0
+    var i = 0
+    val n = tokens.length
+    while (i < n) {
+      var matched: Option[(List[String], List[List[String]])] = None
+      var len = math.min(maxKeyLen, n - i)
+      while (matched.isEmpty && len >= 1) {
+        val key = tokens.slice(i, i + len).map(_.term).toList
+        rules.get(key) match {
+          case Some(alts) => matched = Some((key, alts))
+          case None       => len -= 1
+        }
+      }
+      matched match {
+        case Some((key, alts)) =>
+          val base = tokens(i).pos + shift
+          val lastKeyPos = tokens(i + key.length - 1).pos
+          val original = key
+          val others = alts.filterNot(_ == original)
+          val slots = math.max(original.length, (original :: others).map(_.length).max)
+          final case class Tok(term: String, slot: Int, posLen: Int, orig: Boolean, ord: Int)
+          val toks = mutable.ArrayBuffer.empty[Tok]
+          var ord = 0
+          others.foreach { path =>
+            path.zipWithIndex.foreach { case (t, idx) =>
+              val pl = if (idx == 0) slots - path.length + 1 else 1
+              toks += Tok(t, idx, pl, orig = false, ord)
+            }
+            ord += 1
+          }
+          original.zipWithIndex.foreach { case (t, idx) =>
+            val pl = if (idx == 0) slots - original.length + 1 else 1
+            toks += Tok(t, idx, pl, orig = true, ord)
+          }
+          toks
+            .sortBy(t => (t.slot, -t.posLen, if (t.orig) 1 else 0, t.ord))
+            .foreach(t => out += PosTerm(t.term, base + t.slot))
+          positions += slots
+          // align the next incoming position with the end of the graph
+          shift = base + slots - 1 - lastKeyPos
+          i += key.length
+        case None =>
+          out += PosTerm(tokens(i).term, tokens(i).pos + shift)
+          positions += 1
+          i += 1
+      }
+    }
+    (out.toArray, positions)
+  }
 }
 
 object SynonymSet {

@@ -23,7 +23,8 @@ final class SearchEngine(val index: Index) {
     * query text → boolean tree; filter map + date bounds → FILTER legs. */
   def plan(req: SearchRequest): (Query, Seq[AttrPredicate]) = {
     val q: Query = req.text.map(_.trim).filter(_.nonEmpty) match {
-      case Some(t) => QueryText.parse(t, s => analyzer(s).terms)
+      case Some(t) => QueryText.parse(t, s => analyzer(s).terms,
+        analyzePos = s => analyzer.positional(s))
       case None    => MatchAll
     }
     val attr = scala.collection.mutable.ArrayBuffer.empty[AttrPredicate]
@@ -282,10 +283,12 @@ object SearchEngine {
       }))
 
   /** Build an engine from a turns dataset: assign dense docIds, build the
-    * index tables. */
-  def build(turns: Dataset[Turn], analyzer: TextAnalyzer = Analyzers.Icat): SearchEngine = {
+    * index tables. `withPositions = true` stores per-term position lists
+    * so quoted-phrase queries run (Lucene proximity data). */
+  def build(turns: Dataset[Turn], analyzer: TextAnalyzer = Analyzers.Icat,
+            withPositions: Boolean = false): SearchEngine = {
     val corpus = DocIds.forTurns(turns)
-    new SearchEngine(IndexBuilder.build(corpus, analyzer))
+    new SearchEngine(IndexBuilder.build(corpus, analyzer, withPositions))
   }
 
   def load(spark: SparkSession, dir: String): SearchEngine =

@@ -35,6 +35,10 @@ final case class Index(
     segSize: Int = Segments.DefaultSegSize) {
   def analyzer: TextAnalyzer = Analyzers.byName(analyzerName)
 
+  /** Whether the postings carry per-term position lists (built
+    * `withPositions` — the proximity data phrase queries require). */
+  def hasPositions: Boolean = postings.columns.contains("positions")
+
   /** Cache-ownership hook: drop every cached table of this bundle (the
     * close() of a long-lived service — see IndexRegistry.drop/clear).
     * No-op for tables that were never persisted; the bundle itself stays
@@ -68,12 +72,14 @@ object IndexBuilder {
     * layout (graft.build.SaltedPostings) where whole posting lists must be
     * assembled on one task, and to the sorted save layout below.
     */
-  def build(corpusWithIds: DataFrame, analyzer: TextAnalyzer): Index = {
+  def build(corpusWithIds: DataFrame, analyzer: TextAnalyzer,
+            withPositions: Boolean = false): Index = {
     // persist: stats, termStats, save and every query reuse this table —
     // without it the analyze DAG re-runs per downstream action. (For
     // at-scale builds use buildAndSave, which streams postings to storage
     // instead of caching them.)
-    val postings = analyzedPostings(corpusWithIds, analyzer)
+    val postings = analyzedPostings(corpusWithIds, analyzer,
+        withPositions = withPositions)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val termStats = postings
@@ -100,32 +106,67 @@ object IndexBuilder {
     * null) for a doc whose text analyzes to zero tokens, so the at-scale
     * build can recover the exact Lucene docCount (docs with ≥1 term —
     * Terms.getDocCount semantics) from corpusCount − sentinelCount
-    * without a distinct-docId shuffle over the whole postings table. */
+    * without a distinct-docId shuffle over the whole postings table.
+    *
+    * `withPositions = true` additionally carries each term's Lucene
+    * position list as a `positions: array<int>` column (tf ≡ its length)
+    * — the proximity data phrase queries need (Lucene's .pos file; same
+    * narrow no-shuffle pipeline, bigger rows). Stopword gaps and
+    * synonym-shared positions come from the analyzer's positional mode. */
   private[graft] def analyzedPostings(corpusWithIds: DataFrame,
                                       analyzer: TextAnalyzer,
-                                      keepEmptyDocs: Boolean = false): DataFrame = {
-    val analyzeUdf = udf((s: String) => {
-      val a = analyzer(if (s == null) "" else s)
-      val counts = new java.util.LinkedHashMap[String, Int]()
-      var i = 0
-      while (i < a.terms.length) {
-        val t = a.terms(i)
-        counts.put(t, counts.getOrDefault(t, 0) + 1)
-        i += 1
-      }
-      (scala.jdk.CollectionConverters.MapHasAsScala(counts).asScala.toMap, a.positions)
-    })
-    val normUdf = udf((positions: Int) => SmallFloat.intToByte4(positions))
+                                      keepEmptyDocs: Boolean = false,
+                                      withPositions: Boolean = false): DataFrame = {
     val hasAttrs = Seq("role", "tool", "ts").forall(corpusWithIds.columns.contains)
     val attrCols = if (hasAttrs) Seq(col("role"), col("tool"), col("ts")) else Nil
-    val exploded =
-      if (keepEmptyDocs) explode_outer(col("tfs")) else explode(col("tfs"))
-    corpusWithIds
-      .select(Seq(col("docId"), analyzeUdf(col("text")).as("a")) ++ attrCols: _*)
-      .select(Seq(col("docId"), col("a._1").as("tfs"), normUdf(col("a._2")).as("norm")) ++ attrCols: _*)
-      .select(Seq(col("docId"), col("norm"), exploded.as(Seq("term", "tf")))
-        ++ attrCols: _*)
-      .withColumn("tf", col("tf").cast("int"))
+    val normUdf = udf((positions: Int) => SmallFloat.intToByte4(positions))
+    if (withPositions) {
+      val analyzeUdf = udf((s: String) => {
+        val a = analyzer.positional(if (s == null) "" else s)
+        val posLists = new java.util.LinkedHashMap[String, scala.collection.mutable.ArrayBuffer[Int]]()
+        var i = 0
+        while (i < a.terms.length) {
+          val t = a.terms(i)
+          var buf = posLists.get(t.term)
+          if (buf == null) { buf = scala.collection.mutable.ArrayBuffer.empty[Int]; posLists.put(t.term, buf) }
+          buf += t.pos
+          i += 1
+        }
+        (scala.jdk.CollectionConverters.MapHasAsScala(posLists).asScala
+          .view.mapValues(_.toSeq).toMap, a.positions)
+      })
+      val exploded =
+        if (keepEmptyDocs) explode_outer(col("plists")) else explode(col("plists"))
+      corpusWithIds
+        .select(Seq(col("docId"), analyzeUdf(col("text")).as("a")) ++ attrCols: _*)
+        .select(Seq(col("docId"), col("a._1").as("plists"), normUdf(col("a._2")).as("norm")) ++ attrCols: _*)
+        .select(Seq(col("docId"), col("norm"), exploded.as(Seq("term", "positions")))
+          ++ attrCols: _*)
+        .withColumn("tf", size(col("positions")))
+        .withColumn("tf", when(col("term").isNull, lit(null)).otherwise(col("tf")).cast("int"))
+        .select(Seq(col("docId"), col("norm"), col("term"), col("tf"), col("positions"))
+          ++ attrCols: _*)
+    } else {
+      val analyzeUdf = udf((s: String) => {
+        val a = analyzer(if (s == null) "" else s)
+        val counts = new java.util.LinkedHashMap[String, Int]()
+        var i = 0
+        while (i < a.terms.length) {
+          val t = a.terms(i)
+          counts.put(t, counts.getOrDefault(t, 0) + 1)
+          i += 1
+        }
+        (scala.jdk.CollectionConverters.MapHasAsScala(counts).asScala.toMap, a.positions)
+      })
+      val exploded =
+        if (keepEmptyDocs) explode_outer(col("tfs")) else explode(col("tfs"))
+      corpusWithIds
+        .select(Seq(col("docId"), analyzeUdf(col("text")).as("a")) ++ attrCols: _*)
+        .select(Seq(col("docId"), col("a._1").as("tfs"), normUdf(col("a._2")).as("norm")) ++ attrCols: _*)
+        .select(Seq(col("docId"), col("norm"), exploded.as(Seq("term", "tf")))
+          ++ attrCols: _*)
+        .withColumn("tf", col("tf").cast("int"))
+    }
   }
 
   /** At-scale build: analyze → ONE salted shuffle → sorted parquet write,
@@ -146,7 +187,7 @@ object IndexBuilder {
   def buildAndSave(corpusWithIds: DataFrame, analyzer: TextAnalyzer, dir: String,
                    numPartitions: Int = 0, hotDfThreshold: Long = 1000000L,
                    saltBuckets: Int = 16, writeCorpus: Boolean = true,
-                   sampleRate: Int = 100): Index = {
+                   sampleRate: Int = 100, withPositions: Boolean = false): Index = {
     val spark = corpusWithIds.sparkSession
     val n = if (numPartitions > 0) numPartitions
             else spark.sessionState.conf.numShufflePartitions
@@ -167,7 +208,8 @@ object IndexBuilder {
     // term-partitioned partition sees most docIds, so the "distinct"
     // shuffles nearly the whole docId column and scales with I/O, not
     // cores)
-    analyzedPostings(corpusWithIds, analyzer, keepEmptyDocs = true)
+    analyzedPostings(corpusWithIds, analyzer, keepEmptyDocs = true,
+        withPositions = withPositions)
       .withColumn("_salt",
         when(isHot(col("term")), pmod(hash(col("docId")), lit(saltBuckets))).otherwise(lit(0)))
       .repartition(n, col("term"), col("_salt"))

@@ -42,7 +42,8 @@ object Maintenance {
     val base = index.corpus.agg(coalesce(max(col("docId")), lit(-1L))).collect()(0).getLong(0)
     val newCorpus = graft.corpus.DocIds.forTurns(turns)
       .withColumn("docId", col("docId") + lit(base + 1))
-    val delta = IndexBuilder.build(newCorpus, analyzer)
+    // a positional index's delta must be positional too, or the union fails
+    val delta = IndexBuilder.build(newCorpus, analyzer, index.hasPositions)
     val corpus = index.corpus.unionByName(newCorpus)
     val postings = index.postings.unionByName(delta.postings)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -55,7 +56,7 @@ object Maintenance {
     val ids = updated.select("docId")
     val corpusKept = index.corpus.join(broadcast(ids), Seq("docId"), "left_anti")
     val postingsKept = index.postings.join(broadcast(ids), Seq("docId"), "left_anti")
-    val delta = IndexBuilder.build(updated, analyzer)
+    val delta = IndexBuilder.build(updated, analyzer, index.hasPositions)
     val corpus = corpusKept.unionByName(updated)
     val postings = postingsKept.unionByName(delta.postings)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

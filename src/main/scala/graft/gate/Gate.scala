@@ -41,7 +41,7 @@ object Gate {
         col("text"),
         col("source").as("tool"),
         (lit(1767225600L) + col("doc_id") * 60).cast("timestamp").as("ts"))
-      val idx0 = IndexBuilder.build(corpus, Analyzers.Simple)
+      val idx0 = IndexBuilder.build(corpus, Analyzers.Simple, withPositions = true)
       val idx = idx0.copy(
         corpus = idx0.corpus.persist(),
         postings = idx0.postings.persist(),
@@ -68,7 +68,8 @@ object Gate {
     spark.read.parquet(s"$sfDir/embeddings.parquet")
 
   private def parse(text: String): Query =
-    QueryText.parse(text, s => Analyzers.Simple(s).terms)
+    QueryText.parse(text, s => Analyzers.Simple(s).terms,
+      analyzePos = s => Analyzers.Simple.positional(s))
 
   private def topKDf(spark: SparkSession, sfDir: String, text: String,
                      filters: Seq[AttrPredicate], k: Int,
@@ -103,6 +104,10 @@ object Gate {
       |  SELECT p.term, p.doc_id,
       |    ln(1 + (s.n - t.df + 0.5) / (t.df + 0.5)) * p.tf / (p.tf + 1.2 * (0.25 + 0.75 * q.dlq / s.avgdl)) AS tscore
       |  FROM post p JOIN dlq q USING (doc_id) JOIN tstat t USING (term) CROSS JOIN stats s
+      |), ptoks AS (
+      |  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) - 1 AS pos
+      |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+      |        FROM documents)
       |)""".stripMargin
 
   private def sql(body: String): Option[String] = Some(s"$cte\n$body")
@@ -114,6 +119,41 @@ object Gate {
     GateQuery("bm25_term",
       (s, d) => topKDf(s, d, "spark", Nil, 20),
       sql("""SELECT doc_id, round(tscore, 4) AS score FROM scores WHERE term = 'spark'
+            |ORDER BY tscore DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // exact phrase over positional postings — MultiPhraseQuery semantics:
+    // tf = number of base offsets where every slot aligns, weight = Σ idf
+    // over the listed terms (graft.model.PhraseQuery; reference parses
+    // quoted phrases through StandardQueryParser, DocumentMapping.java:120-146)
+    GateQuery("bm25_phrase",
+      (s, d) => topKDf(s, d, "\"spark merge\"", Nil, 20),
+      sql("""SELECT doc_id, round(tscore, 4) AS score FROM (
+            |  SELECT f.doc_id,
+            |    (SELECT sum(ln(1 + (s2.n - t.df + 0.5) / (t.df + 0.5)))
+            |     FROM tstat t CROSS JOIN stats s2 WHERE t.term IN ('spark', 'merge'))
+            |      * f.tf / (f.tf + 1.2 * (0.25 + 0.75 * q.dlq / s.avgdl)) AS tscore
+            |  FROM (SELECT a.doc_id, count(*) AS tf FROM ptoks a JOIN ptoks b
+            |        ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+            |        WHERE a.term = 'spark' AND b.term = 'merge'
+            |        GROUP BY a.doc_id) f
+            |  JOIN dlq q USING (doc_id) CROSS JOIN stats s)
+            |ORDER BY tscore DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // repeated-term phrase: the same term fills both slots, so the
+    // MultiPhrase weight counts its idf once PER SLOT (2×) and overlapping
+    // occurrences ("table table table" = freq 2) all count
+    GateQuery("bm25_phrase_rep",
+      (s, d) => topKDf(s, d, "\"table table\"", Nil, 20),
+      sql("""SELECT doc_id, round(tscore, 4) AS score FROM (
+            |  SELECT f.doc_id,
+            |    (SELECT 2 * ln(1 + (s2.n - t.df + 0.5) / (t.df + 0.5))
+            |     FROM tstat t CROSS JOIN stats s2 WHERE t.term = 'table')
+            |      * f.tf / (f.tf + 1.2 * (0.25 + 0.75 * q.dlq / s.avgdl)) AS tscore
+            |  FROM (SELECT a.doc_id, count(*) AS tf FROM ptoks a JOIN ptoks b
+            |        ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+            |        WHERE a.term = 'table' AND b.term = 'table'
+            |        GROUP BY a.doc_id) f
+            |  JOIN dlq q USING (doc_id) CROSS JOIN stats s)
             |ORDER BY tscore DESC, doc_id LIMIT 20""".stripMargin)),
 
     GateQuery("bm25_or",

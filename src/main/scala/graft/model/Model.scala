@@ -71,6 +71,47 @@ final case class FieldWildcardQuery(field: String, pattern: String) extends Quer
   def regex: String = WildcardQuery.regex(pattern, lowercase = !caseSensitive)
 }
 
+/** Exact phrase / multi-phrase query over the analyzed text field
+  * (reference: quoted phrases through StandardQueryParser,
+  * DocumentMapping.java:120-146; the synonym-graph phrase golden
+  * `location:"path ? data (mr molecular) replac file.txt"`,
+  * TestLucene.java:144-171). Lucene MultiPhraseQuery semantics:
+  *
+  *  - `slots` are (analyzed position, alternative terms) pairs in
+  *    position order — stopword removal leaves position holes (the `?` in
+  *    the golden: any term may occupy the hole), synonym injection stacks
+  *    alternatives on one position;
+  *  - a document matches at base offset B when EVERY slot (p, ts) has
+  *    some t ∈ ts indexed at position B + p − p₀ (B may place earlier
+  *    than the first slot's absolute position, exactly as Lucene's
+  *    relative phrase positions allow);
+  *  - BM25 scores with tf = the number of matching base offsets (exact
+  *    phrase freq) and weight = Σ idf over every (slot, term) occurrence
+  *    present in the index — MultiPhraseWeight sums termStatistics per
+  *    listed term, counting a term once per slot it appears in.
+  *
+  * Requires an index built `withPositions` (the positional postings are
+  * Lucene's proximity data; an index without them cannot run phrases). */
+final case class PhraseQuery(slots: Seq[(Int, Seq[String])]) extends Query
+
+object PhraseQuery {
+  /** Build from a position-annotated analysis of the quoted text: group
+    * stacked tokens by position into slots. Returns None when the phrase
+    * analyzes to nothing (all stopwords — the parser drops the clause),
+    * and degenerates to a TermQuery for a single one-term slot, as
+    * Lucene's QueryBuilder does. */
+  def fromAnalysis(a: graft.analysis.PosAnalyzed): Option[Query] = {
+    if (a.terms.isEmpty) return None
+    val slots: Seq[(Int, Seq[String])] = a.terms
+      .groupBy(_.pos).toSeq.sortBy(_._1)
+      .map { case (p, ts) => (p, ts.map(_.term).distinct.toSeq) }
+    slots match {
+      case Seq((_, Seq(t))) => Some(TermQuery(t))
+      case s                => Some(PhraseQuery(s))
+    }
+  }
+}
+
 /** Keyword-field term from `field:value` query syntax: matches docs whose
   * attribute column equals the value, constant score 1.0. The reference
   * builds exact-field constraints as non-scoring Occur.FILTER term queries
@@ -116,23 +157,67 @@ object QueryText {
   val KeywordFields: Set[String] = Set("role", "tool", "conv_id")
 
   /** Mini query-string parser covering the reference surface required by
-    * the north rule: bare terms (default OR), `+term` (MUST), `-term`
-    * (MUST_NOT), `field:value` qualified terms — phrase-free (reference
-    * default-OR StandardQueryParser configured at
-    * DocumentMapping.java:120-146; field syntax parsed there too).
+    * the north rule plus quoted phrases: bare terms (default OR), `+term`
+    * (MUST), `-term` (MUST_NOT), `field:value` qualified terms, and
+    * `"a phrase"` / `+"a phrase"` / `text:"a phrase"` quoted spans
+    * (reference default-OR StandardQueryParser configured at
+    * DocumentMapping.java:120-146; field and phrase syntax parsed there).
     * `text:word` targets the analyzed default field explicitly; a keyword
     * field (`role:`, `tool:`, `conv_id:`) becomes a FieldMatchQuery;
     * an unknown prefix is NOT treated as a field — the whole word is
     * analyzed as text (matching the parser's default-field fallback).
     * Each analyzed word that yields several tokens (synonym expansion)
-    * becomes a SHOULD group at that position. */
+    * becomes a SHOULD group at that position. A quoted span analyzes
+    * POSITIONALLY (via `analyzePos`, defaulting to contiguous positions
+    * over `analyze` — correct for stop/synonym-free chains) into a
+    * [[PhraseQuery]]; a quoted keyword-field value is a literal match. */
   def parse(text: String, analyze: String => Array[String],
-            keywordFields: Set[String] = KeywordFields): Query = {
-    val words = text.trim.split("\\s+").filter(_.nonEmpty)
+            keywordFields: Set[String] = KeywordFields,
+            analyzePos: String => graft.analysis.PosAnalyzed = null): Query = {
+    import graft.analysis.{PosAnalyzed, PosTerm}
+    val aPos: String => PosAnalyzed =
+      if (analyzePos != null) analyzePos
+      else s => {
+        val ts = analyze(s)
+        PosAnalyzed(ts.zipWithIndex.map { case (t, i) => PosTerm(t, i) }, ts.length)
+      }
+    // tokens: optionally-occur-prefixed, optionally-field-prefixed quoted
+    // spans, else non-space runs (the word path below handles their own
+    // occur/field prefixes)
+    val tokenRe = """([+-])?(?:([A-Za-z_][A-Za-z0-9_.]*):)?"([^"]*)"|(\S+)""".r
     var must = List.empty[Query]
     var should = List.empty[Query]
     var mustNot = List.empty[Query]
-    words.foreach { w =>
+
+    def addNode(occ: Char, n: Query): Unit = occ match {
+      case '+' => must ::= n
+      case '-' => mustNot ::= n
+      case _   => should ::= n
+    }
+
+    tokenRe.findAllMatchIn(text).foreach { m =>
+      if (m.group(3) != null) { // quoted span
+        val occ = Option(m.group(1)).map(_.charAt(0)).getOrElse(' ')
+        val field = Option(m.group(2))
+        val body = m.group(3)
+        val node: Option[Query] = field match {
+          case Some(f) if keywordFields.contains(f) =>
+            Some(FieldMatchQuery(f, body)) // literal (possibly spaced) value
+          case _ => // default text field (explicit `text:` or no prefix;
+                    // unknown prefixes fall back to the default field)
+            PhraseQuery.fromAnalysis(aPos(body))
+        }
+        node.foreach(addNode(occ, _))
+      } else parseWord(m.group(4), analyze, keywordFields, addNode)
+    }
+    if (must.isEmpty && should.isEmpty && mustNot.isEmpty) MatchAll
+    else BoolQuery(must.reverse, should.reverse, mustNot.reverse)
+  }
+
+  /** The unquoted-word path of [[parse]] (unchanged semantics). */
+  private def parseWord(w: String, analyze: String => Array[String],
+                        keywordFields: Set[String],
+                        addNode: (Char, Query) => Unit): Unit = {
       val (occ, rawBody) =
         if (w.startsWith("+")) ('+', w.substring(1))
         else if (w.startsWith("-")) ('-', w.substring(1))
@@ -163,16 +248,7 @@ object QueryText {
           else if (terms.length == 1) Some(TermQuery(terms(0)))
           else Some(BoolQuery(should = terms.toSeq.map(TermQuery(_))))
       }
-      node.foreach { n =>
-        occ match {
-          case '+' => must ::= n
-          case '-' => mustNot ::= n
-          case _   => should ::= n
-        }
-      }
-    }
-    if (must.isEmpty && should.isEmpty && mustNot.isEmpty) MatchAll
-    else BoolQuery(must.reverse, should.reverse, mustNot.reverse)
+      node.foreach(addNode(occ, _))
   }
 }
 

@@ -62,6 +62,7 @@ final class NaiveOracle(docs: Seq[NaiveOracle.Doc]) {
     case w: WildcardQuery =>
       val re = w.regex.r
       if (d.terms.exists(t => re.findFirstIn(t).isDefined)) Some(1.0f) else None
+    case p: PhraseQuery => phraseScore(p, d)
     case FieldMatchQuery(f, v) =>
       val m = f match {
         case "role"    => d.role == v
@@ -98,6 +99,36 @@ final class NaiveOracle(docs: Seq[NaiveOracle.Doc]) {
         all.foreach(s => acc += s)
         Some(acc.toFloat)
       }
+  }
+
+  /** Exact MultiPhraseQuery scoring (see graft.model.PhraseQuery): count
+    * base offsets where every slot has an alternative at base + relPos;
+    * BM25 with tf = that count and weight = Σ idf per (slot, term) listed
+    * occurrence present in the index. Naive nested loops by design. */
+  private def phraseScore(p: PhraseQuery, d: Doc): Option[Float] = {
+    val termsAt: Map[Int, Set[String]] =
+      d.posTerms.groupBy(_.pos).map { case (k, v) => k -> v.map(_.term).toSet }
+    val p0 = p.slots.head._1
+    // candidate bases from the first slot's matches
+    val bases = d.posTerms.iterator
+      .filter(t => p.slots.head._2.contains(t.term))
+      .map(_.pos)
+      .toSeq.distinct
+    val freq = bases.count { basePos =>
+      p.slots.forall { case (rp, alts) =>
+        termsAt.get(basePos - p0 + rp).exists(ts => alts.exists(ts.contains))
+      }
+    }
+    if (freq == 0) return None
+    val sumIdf = p.slots.iterator.flatMap { case (_, alts) => alts }
+      .map(t => df(t))
+      .filter(_ > 0)
+      .map(dfT => math.log(1d + (docCount - dfT + 0.5d) / (dfT + 0.5d)))
+      .sum
+    val weight = sumIdf.toFloat
+    val dl = SmallFloat.byte4ToInt(normByte(d)).toFloat
+    val norm: Double = (1.2f * ((1 - 0.75f) + 0.75f * dl / avgdlF)).toDouble
+    Some((weight - weight / (1d + freq.toFloat / norm)).toFloat)
   }
 
   def matchesAttr(p: AttrPredicate, d: Doc): Boolean = p match {
@@ -210,11 +241,14 @@ final class NaiveOracle(docs: Seq[NaiveOracle.Doc]) {
 object NaiveOracle {
   final case class Doc(
       docId: Long, convId: String, turnIdx: Int, role: String,
-      tool: Option[String], tsMs: Long, terms: Array[String], positions: Int)
+      tool: Option[String], tsMs: Long, terms: Array[String], positions: Int,
+      posTerms: Array[graft.analysis.PosTerm] = Array.empty)
 
   def fromTurns(turns: Seq[(Long, Turn)], analyzer: TextAnalyzer): NaiveOracle =
     new NaiveOracle(turns.map { case (id, t) =>
       val a = analyzer(t.text)
-      Doc(id, t.conv_id, t.turn_idx, t.role, t.tool, t.ts.getTime, a.terms, a.positions)
+      val ap = analyzer.positional(t.text)
+      Doc(id, t.conv_id, t.turn_idx, t.role, t.tool, t.ts.getTime, a.terms,
+        a.positions, ap.terms)
     })
 }

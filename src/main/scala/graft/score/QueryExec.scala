@@ -139,6 +139,8 @@ final class QueryExec(val index: Index, val exact: Boolean = false) {
         .select(col("docId"), one.as("score"))
     case TermQuery(t) =>
       matches(BoolQuery(should = Seq(TermQuery(t))), filters)
+    case p: PhraseQuery =>
+      phraseMatches(p, filters)
     case w: WildcardQuery =>
       // Lucene multi-term rewrite: expand against the term dictionary,
       // constant score 1.0 per matching doc. The dictionary scan stays
@@ -200,6 +202,61 @@ final class QueryExec(val index: Index, val exact: Boolean = false) {
     agg
       .filter(col("mustHit") === nMust && col("notHit").isNull && col("anyHit") === 1)
       .select(col("docId"), col("scoreSum").cast(scoreType).as("score"))
+  }
+
+  /** Exact (multi-)phrase evaluation over positional postings — Lucene
+    * MultiPhraseQuery semantics (see [[graft.model.PhraseQuery]]).
+    *
+    * Plan: postings scan pushed-filtered to the phrase's terms (plus the
+    * non-scoring attribute legs) → broadcast join with the (term, slot,
+    * relPos) query frame → explode position lists, base = pos − relPos →
+    * ONE aggregation by (docId, base) counting distinct matched slots →
+    * occurrences (all slots present) → ONE aggregation by docId for the
+    * exact phrase freq → BM25 with weight = Σ idf over listed terms
+    * (MultiPhraseWeight sums termStatistics per slot occurrence). Two
+    * narrow-key shuffles, both partial-aggregated map-side; the scan reads
+    * only the phrase's terms at 100 TB exactly like a term query. */
+  private def phraseMatches(p: PhraseQuery, filters: Seq[AttrPredicate]): DataFrame = {
+    require(index.hasPositions,
+      "phrase query over an index built without positions — rebuild with withPositions = true")
+    // (term, slot index, relative position) — one row per slot alternative
+    val slotTerms: Seq[(String, Int, Int)] = p.slots.zipWithIndex.flatMap {
+      case ((pos, ts), i) => ts.map(t => (t, i, pos))
+    }
+    val distinctTerms = slotTerms.map(_._1).distinct
+    val dfMap: Map[String, Long] = index.termStats
+      .filter(col("term").isin(distinctTerms: _*))
+      .select("term", "df").as[(String, Long)].collect().toMap
+    // weight: per (slot, term) occurrence with index presence (a missing
+    // term contributes nothing — its scorer would be null in Lucene)
+    val sumIdfD = slotTerms.iterator
+      .flatMap { case (t, _, _) => dfMap.get(t) }
+      .map(df => Bm25.idf(index.stats.docCount, df)).sum
+    val nSlots = p.slots.size
+    // a slot whose terms are ALL absent can never match — short-circuit
+    val slotsAlive = slotTerms.groupBy(_._2).values
+      .forall(_.exists { case (t, _, _) => dfMap.contains(t) })
+    if (!slotsAlive || dfMap.isEmpty) return matches(MatchNone, filters)
+
+    val qframe = spark.createDataFrame(slotTerms).toDF("term", "slot", "relPos")
+    val scan = applyFilters(
+      index.postings.filter(col("term").isin(distinctTerms: _*)), filters)
+    val occurrences = scan
+      .join(broadcast(qframe), "term")
+      .select(col("docId"), col("norm"), col("slot"), col("relPos"),
+        explode(col("positions")).as("pos"))
+      .select(col("docId"), col("norm"), col("slot"),
+        (col("pos") - col("relPos")).as("base"))
+      .groupBy(col("docId"), col("base"))
+      .agg(countDistinct(col("slot")).as("nslot"), first(col("norm")).as("norm"))
+      .filter(col("nslot") === nSlots)
+    val freq = occurrences
+      .groupBy(col("docId"))
+      .agg(count(lit(1)).cast("int").as("tf"), first(col("norm")).as("norm"))
+    freq.select(col("docId"),
+      (if (exact) Bm25.scoreColExact(col("tf"), col("norm"), lit(sumIdfD), cacheD)
+       else Bm25.scoreCol(col("tf"), col("norm"), lit(sumIdfD.toFloat), cache))
+        .as("score"))
   }
 
   /** General recursive path for arbitrarily nested boolean trees. */

@@ -13,7 +13,7 @@ object VerifyDrive {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val engine = SearchEngine.build(TranscriptGen.tiny(spark))
+    val engine = SearchEngine.build(TranscriptGen.tiny(spark), withPositions = true)
 
     def run(tag: String, json: String): Unit = {
       val out = try {
@@ -38,6 +38,14 @@ object VerifyDrive {
       """{"query":{"text":"needle_3"},"maxResults":1,"joinFetch":{"limit":2}}""")
     run("PROBE: wildcard matching nothing role:zz*",
       """{"query":{"text":"needle_3 role:zz*"},"maxResults":2}""")
+    run("quoted phrase through the JSON surface",
+      """{"query":{"text":"\"w0000 w0001\""},"maxResults":3}""")
+    run("phrase as MUST leg with a NOT term",
+      """{"query":{"text":"+\"w0000 w0001\" -ambiguous"},"maxResults":3}""")
+    run("PROBE: phrase of all-stopwords drops the clause (match-all)",
+      """{"query":{"text":"\"the the\""},"maxResults":1}""")
+    run("PROBE: unterminated quote falls back to word parsing",
+      """{"query":{"text":"\"w0000 w0001"},"maxResults":2}""")
     // facet single-pass through the facade
     println("== facets (single pass) ==")
     println(engine.facetJson(graft.model.SearchRequest(text = Some("ambiguous")), Seq("role", "tool")))

@@ -38,6 +38,38 @@ class AnalyzerSpec extends AnyFunSuite {
     assert(Analyzers.IcatSynonym("time of flight").positions === 3)
   }
 
+  test("positional analysis golden: stopword gaps + synonym slots (TestLucene.java:144-171)") {
+    // the reference phrase golden: "/path/to/data/mr/file.txt" analyzes to
+    //   location:"path ? data (mr molecular) replac file.txt"
+    // i.e. path@0, GAP@1 (stopword 'to'), data@2, mr@3 (posLen 2) with
+    // molecular@3 + replac@4 injected, file.txt shifted to @5
+    val got = Analyzers.IcatSynonym.positional("/path/to/data/mr/file.txt")
+    assert(got.terms.toSeq === Seq(
+      PosTerm("path", 0), PosTerm("data", 2), PosTerm("mr", 3),
+      PosTerm("molecular", 3), PosTerm("replac", 4), PosTerm("file.txt", 5)))
+    // norm length counts slots, not max position: 1+1+2+1
+    assert(got.positions === 5)
+    // gap-aware Icat chain without synonyms
+    val icat = Analyzers.Icat.positional("time of the flight")
+    assert(icat.terms.toSeq === Seq(
+      PosTerm("time", 0), PosTerm("of", 1), PosTerm("flight", 3)))
+    assert(icat.positions === 3)
+  }
+
+  test("positional analysis emits the same term sequence as apply()") {
+    val texts = Seq(
+      "hydrogen Helium LITHIUM be B NE ionisation TIME of FLIGHT technique ArPeS",
+      "/path/to/data/mr/file.txt",
+      "the quick brown fox's jumps over data",
+      "", "   ", "a the to with")
+    for (a <- Seq(Analyzers.Icat, Analyzers.IcatSynonym, Analyzers.Simple);
+         t <- texts) {
+      assert(a.positional(t).terms.map(_.term).toSeq === a(t).terms.toSeq,
+        s"${a.name} on '$t'")
+      assert(a.positional(t).positions === a(t).positions, s"${a.name} on '$t'")
+    }
+  }
+
   test("tokenizer: mid-word joiners and punctuation") {
     assert(WordBreak.tokenize("file.txt path/to x,y 3.14 1,000").toSeq ===
       Seq("file.txt", "path", "to", "x", "y", "3.14", "1,000"))

@@ -37,7 +37,7 @@ class GateSpec extends SparkSuite {
     graft.SparkEntry.oracleSql.values.foreach { sql =>
       val froms = "(?i)FROM\\s+([a-z_]+)".r.findAllMatchIn(sql).map(_.group(1)).toSet
       val unknown = froms -- tables --
-        Set("toks", "dl", "dlq", "stats", "post", "tstat", "scores", "arr", "sh",
+        Set("toks", "ptoks", "dl", "dlq", "stats", "post", "tstat", "scores", "arr", "sh",
           "sizes", "counts", "documents", "events", "embeddings", "w",
           "th", "bits", "fp")
       assert(unknown.isEmpty, s"oracle references unknown tables: $unknown")

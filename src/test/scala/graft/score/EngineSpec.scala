@@ -15,7 +15,7 @@ import graft.model._
 class EngineSpec extends SparkSuite {
 
   private lazy val turns = TranscriptGen.tiny(spark)
-  private lazy val engine = SearchEngine.build(turns, Analyzers.Icat)
+  private lazy val engine = SearchEngine.build(turns, Analyzers.Icat, withPositions = true)
   private lazy val oracle: NaiveOracle = {
     import spark.implicits._
     val rows = engine.index.corpus
@@ -29,7 +29,8 @@ class EngineSpec extends SparkSuite {
   }
 
   private def parse(text: String): Query =
-    QueryText.parse(text, s => Analyzers.Icat(s).terms)
+    QueryText.parse(text, s => Analyzers.Icat(s).terms,
+      analyzePos = s => Analyzers.Icat.positional(s))
 
   private def engineTopK(q: Query, filters: Seq[AttrPredicate], k: Int,
                          after: Option[AfterToken] = None): Seq[(Long, Float)] = {
@@ -105,6 +106,25 @@ class EngineSpec extends SparkSuite {
     checkParity("+ambiguous +tool:ba*", k = 20)
     checkParity("ambiguous -role:assis*", k = 20)
     checkParity("role:USE?  ambiguous", k = 20) // pattern lowercased
+  }
+
+  test("q19 exact phrase: parity incl. order sensitivity and repeats") {
+    // bigrams over the hot zipf words occur by chance; order matters
+    checkParity("\"w0000 w0001\"", k = 30)
+    checkParity("\"w0001 w0000\"", k = 30)
+    // repeated-term phrase: weight = 2×idf, overlapping occurrences count
+    checkParity("\"w0000 w0000\"", k = 30)
+    // phrase mixed with a scored term, and as a MUST leg with a NOT
+    checkParity("\"w0000 w0001\" hydrogen", k = 30)
+    checkParity("+\"w0000 w0001\" -ambiguous", k = 30)
+    // a trigram (rarer — may be empty, parity must still hold)
+    checkParity("\"w0000 w0001 w0002\"", k = 30)
+    // quoted single word degenerates to a TermQuery (Lucene QueryBuilder)
+    assert(parse("\"hydrogen\"") === parse("hydrogen"))
+  }
+
+  test("q20 phrase with attribute filter routes like any scoring leg") {
+    checkParity("\"w0000 w0001\"", Seq(FieldEquals("role", "assistant")), k = 30)
   }
 
   test("q17 prohibited-only query matches nothing (Lucene BooleanQuery semantics)") {
