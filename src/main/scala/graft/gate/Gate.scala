@@ -327,6 +327,47 @@ object Gate {
       Some("""SELECT doc_id, lang AS role FROM documents
              |ORDER BY lang, doc_id DESC LIMIT 20 OFFSET 20""".stripMargin)),
 
+    GateQuery("fuzzy_term",
+      // Lucene FuzzyQuery + TopTermsBlendedFreqScoringRewrite over the
+      // term dictionary (graft.model.FuzzyQuery): 'sark'~2 expands to
+      // spark (1 edit, boost .75), part + sort (2 edits, boost .5); every
+      // expanded term scores with the BLENDED df (max over the set) and
+      // its boost; per-doc scores sum. transpositions=false here so DuckDB
+      // `levenshtein` replays the expansion exactly (the OSA-transposition
+      // default is pinned against the naive oracle in FuzzySpec).
+      (s, d) => {
+        val (_, exec) = gate(s, d)
+        exec.topK(FuzzyQuery("sark", maxEdits = 2, transpositions = false), Nil, 20)
+          .select(col("docId").as("doc_id"), round(col("score"), 4).as("score"))
+      },
+      sql("""SELECT doc_id, round(score, 4) AS score FROM (
+            |  SELECT p.doc_id, sum(
+            |    (f.boost * i.bidf) * p.tf / (p.tf + 1.2 * (0.25 + 0.75 * q.dlq / s.avgdl))) AS score
+            |  FROM post p
+            |  JOIN (SELECT term, 1.0 - levenshtein(term, 'sark') * 1.0 / least(length(term), 4) AS boost
+            |        FROM tstat WHERE levenshtein(term, 'sark') <= 2) f USING (term)
+            |  CROSS JOIN (SELECT ln(1 + (s2.n - mx.bdf + 0.5) / (mx.bdf + 0.5)) AS bidf
+            |              FROM (SELECT max(df) AS bdf FROM tstat
+            |                    WHERE levenshtein(term, 'sark') <= 2) mx
+            |              CROSS JOIN stats s2) i
+            |  JOIN dlq q USING (doc_id) CROSS JOIN stats s
+            |  GROUP BY p.doc_id)
+            |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
+
+    GateQuery("fuzzy_field",
+      // fielded fuzzy on a keyword attribute (`role:ds~1`): constant-score
+      // bounded-edit-distance match — 'ds' is within 1 edit of langs 'de'
+      // and 'es' but not 'en'/'fr'/'zh'
+      (s, d) => {
+        val (_, exec) = gate(s, d)
+        exec.topK(FieldFuzzyQuery("role", "ds", maxEdits = 1, transpositions = false),
+            Nil, 500)
+          .select(col("docId").as("doc_id"), col("score"))
+      },
+      Some("""SELECT doc_id, CAST(1.0 AS DOUBLE) AS score FROM documents
+             |WHERE levenshtein(lang, 'ds') <= 1
+             |ORDER BY doc_id LIMIT 500""".stripMargin)),
+
     GateQuery("wildcard_prefix",
       (s, d) => topKDf(s, d, "sc*n", Nil, 1000),
       sql("""SELECT DISTINCT doc_id, 1.0 AS score FROM post

@@ -112,6 +112,39 @@ object PhraseQuery {
   }
 }
 
+/** Fuzzy term over the analyzed text field — `word~`, `word~1` query
+  * syntax (reference: fuzzy syntax accepted by the per-entity
+  * StandardQueryParser, DocumentMapping.java:120-146). Lucene FuzzyQuery
+  * defaults pinned here: maxEdits 2, prefixLength 0, maxExpansions 50,
+  * transpositions on (optimal-string-alignment Damerau-Levenshtein).
+  *
+  * Execution semantics (Lucene's TopTermsBlendedFreqScoringRewrite):
+  * expand against the term dictionary to the top-`maxExpansions` terms
+  * within `maxEdits` (ranked boost desc, term asc), where
+  * boost = 1 − edits / min(|term|, |query|); "blend" document frequency
+  * by scoring EVERY expanded term with the maximum df over the expansion
+  * set (BlendedTermQuery.adjustFrequencies); a document's score is the
+  * sum over its matching expanded terms of boost × BM25(tf, blended idf).
+  * The query text is lowercased, not analyzed — Lucene normalizes fuzzy
+  * terms through the analyzer's normalization chain only (no
+  * tokenize/stop/stem). maxEdits 0 degenerates to an exact TermQuery. */
+final case class FuzzyQuery(
+    term: String,
+    maxEdits: Int = 2,
+    prefixLength: Int = 0,
+    maxExpansions: Int = 50,
+    transpositions: Boolean = true) extends Query
+
+/** Field-qualified fuzzy from `field:value~N` syntax: matches docs whose
+  * keyword attribute is within `maxEdits` of the value, constant score 1.0
+  * (the same constant-score convention as [[FieldWildcardQuery]]; keyword
+  * fields are indexed raw, so matching is case-sensitive — Lucene
+  * normalizes fuzzy terms per-field and a KeywordAnalyzer field has no
+  * lowercasing). */
+final case class FieldFuzzyQuery(field: String, value: String,
+                                 maxEdits: Int = 2,
+                                 transpositions: Boolean = true) extends Query
+
 /** Keyword-field term from `field:value` query syntax: matches docs whose
   * attribute column equals the value, constant score 1.0. The reference
   * builds exact-field constraints as non-scoring Occur.FILTER term queries
@@ -239,16 +272,43 @@ object QueryText {
           // field is a case-preserving .exact view)
           if (body.exists(c => c == '*' || c == '?'))
             Some(FieldWildcardQuery(f, body))
-          else Some(FieldMatchQuery(f, body))
+          else fuzzySuffix(body) match {
+            case Some((base, edits)) => Some(FieldFuzzyQuery(f, base, edits))
+            case None                => Some(FieldMatchQuery(f, body))
+          }
         case None =>
           val isWildcard = body.exists(c => c == '*' || c == '?')
-          val terms = if (isWildcard) Array(body) else analyze(body)
-          if (terms.isEmpty) None
-          else if (isWildcard) Some(WildcardQuery(body))
-          else if (terms.length == 1) Some(TermQuery(terms(0)))
-          else Some(BoolQuery(should = terms.toSeq.map(TermQuery(_))))
+          if (isWildcard) Some(WildcardQuery(body))
+          else fuzzySuffix(body) match {
+            case Some((base, edits)) =>
+              // fuzzy terms are normalized (lowercased), never analyzed —
+              // Lucene applies only the normalization chain to fuzzy text
+              Some(FuzzyQuery(base.toLowerCase(java.util.Locale.ROOT), edits))
+            case None =>
+              val terms = analyze(body)
+              if (terms.isEmpty) None
+              else if (terms.length == 1) Some(TermQuery(terms(0)))
+              else Some(BoolQuery(should = terms.toSeq.map(TermQuery(_))))
+          }
       }
       node.foreach(addNode(occ, _))
+  }
+
+  /** Detect Lucene fuzzy syntax on a word: `base~` (maxEdits 2) or
+    * `base~0|1|2`. A lone/leading `~` or an out-of-range suffix is not
+    * fuzzy syntax (the word falls through to plain analysis, as the
+    * StandardQueryParser treats an unparsable fuzzy slop). */
+  private def fuzzySuffix(s: String): Option[(String, Int)] = {
+    val i = s.lastIndexOf('~')
+    if (i <= 0) None
+    else {
+      val base = s.substring(0, i)
+      val suff = s.substring(i + 1)
+      if (suff.isEmpty) Some((base, 2))
+      else if (suff.length == 1 && suff.charAt(0) >= '0' && suff.charAt(0) <= '2')
+        Some((base, suff.charAt(0) - '0'))
+      else None
+    }
   }
 }
 

@@ -63,6 +63,17 @@ final class NaiveOracle(docs: Seq[NaiveOracle.Doc]) {
       val re = w.regex.r
       if (d.terms.exists(t => re.findFirstIn(t).isDefined)) Some(1.0f) else None
     case p: PhraseQuery => phraseScore(p, d)
+    case f: FuzzyQuery  => fuzzyScore(f, d)
+    case f: FieldFuzzyQuery =>
+      val value: Option[String] = f.field match {
+        case "role"    => Some(d.role)
+        case "tool"    => d.tool
+        case "conv_id" => Some(d.convId)
+        case other     => sys.error(s"unknown keyword field $other")
+      }
+      if (value.exists(v => NaiveOracle.editDistance(v, f.value, f.transpositions) <= f.maxEdits))
+        Some(1.0f)
+      else None
     case FieldMatchQuery(f, v) =>
       val m = f match {
         case "role"    => d.role == v
@@ -129,6 +140,43 @@ final class NaiveOracle(docs: Seq[NaiveOracle.Doc]) {
     val dl = SmallFloat.byte4ToInt(normByte(d)).toFloat
     val norm: Double = (1.2f * ((1 - 0.75f) + 0.75f * dl / avgdlF)).toDouble
     Some((weight - weight / (1d + freq.toFloat / norm)).toFloat)
+  }
+
+  /** Lucene FuzzyQuery + TopTermsBlendedFreqScoringRewrite, naively (see
+    * graft.model.FuzzyQuery): full dictionary scan for terms within
+    * maxEdits, top-maxExpansions by (boost desc, term asc), df blended to
+    * the expansion max, score = Σ boost × BM25(tf, blended idf) over the
+    * doc's matching expanded terms. */
+  private def fuzzyScore(f: FuzzyQuery, d: Doc): Option[Float] = {
+    if (f.maxEdits <= 0) return termScore(f.term, d)
+    val prefix = f.term.substring(0, math.min(f.prefixLength, f.term.length))
+    val expansion: Seq[(String, Double)] = postings.keys.toSeq
+      .filter(_.startsWith(prefix))
+      .flatMap { t =>
+        val ed = NaiveOracle.editDistance(t, f.term, f.transpositions)
+        if (ed <= f.maxEdits)
+          Some(t -> (1.0 - ed.toDouble / math.min(t.length, f.term.length)))
+        else None
+      }
+      .sortBy { case (t, boost) => (-boost, t) }
+      .take(f.maxExpansions)
+    if (expansion.isEmpty) return None
+    val blendedDf = expansion.map { case (t, _) => df(t) }.max
+    val idfD = math.log(1d + (docCount - blendedDf + 0.5d) / (blendedDf + 0.5d))
+    val dl = SmallFloat.byte4ToInt(normByte(d)).toFloat
+    val norm: Double = (1.2f * ((1 - 0.75f) + 0.75f * dl / avgdlF)).toDouble
+    val perTerm = expansion.flatMap { case (t, boost) =>
+      postings.get(t).flatMap(_.get(d.docId)).map { tf =>
+        val weight = boost.toFloat * idfD.toFloat
+        (weight - weight / (1d + tf.toFloat / norm)).toFloat
+      }
+    }
+    if (perTerm.isEmpty) None
+    else {
+      var acc = 0d
+      perTerm.foreach(s => acc += s)
+      Some(acc.toFloat)
+    }
   }
 
   def matchesAttr(p: AttrPredicate, d: Doc): Boolean = p match {
@@ -239,6 +287,26 @@ final class NaiveOracle(docs: Seq[NaiveOracle.Doc]) {
 }
 
 object NaiveOracle {
+
+  /** Unbounded optimal-string-alignment (or plain Levenshtein) distance —
+    * full (n+1)×(m+1) matrix, deliberately independent of the engine's
+    * banded early-exit implementation (graft.model.EditDistance). */
+  def editDistance(a: String, b: String, transpositions: Boolean): Int = {
+    val n = a.length; val m = b.length
+    val dp = Array.ofDim[Int](n + 1, m + 1)
+    for (i <- 0 to n) dp(i)(0) = i
+    for (j <- 0 to m) dp(0)(j) = j
+    for (i <- 1 to n; j <- 1 to m) {
+      val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1
+      var d = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1), dp(i - 1)(j - 1) + cost)
+      if (transpositions && i > 1 && j > 1 &&
+          a.charAt(i - 1) == b.charAt(j - 2) && a.charAt(i - 2) == b.charAt(j - 1))
+        d = math.min(d, dp(i - 2)(j - 2) + 1)
+      dp(i)(j) = d
+    }
+    dp(n)(m)
+  }
+
   final case class Doc(
       docId: Long, convId: String, turnIdx: Int, role: String,
       tool: Option[String], tsMs: Long, terms: Array[String], positions: Int,

@@ -141,6 +141,20 @@ final class QueryExec(val index: Index, val exact: Boolean = false) {
       matches(BoolQuery(should = Seq(TermQuery(t))), filters)
     case p: PhraseQuery =>
       phraseMatches(p, filters)
+    case f: FuzzyQuery =>
+      fuzzyMatches(f, filters)
+    case f: FieldFuzzyQuery =>
+      // fielded fuzzy against the keyword attribute column: bounded edit
+      // distance as a scan predicate, constant score 1.0 (the same
+      // constant-score convention as fielded wildcards). Keyword values
+      // are short, so the per-row DP is cheap; the length prefilter below
+      // is sargable and prunes most rows before the UDF runs.
+      val okUdf = udf((v: String) => v != null &&
+        graft.model.EditDistance.bounded(v, f.value, f.maxEdits, f.transpositions) >= 0)
+      val lenOk = length(col(f.field))
+        .between(lit(f.value.length - f.maxEdits), lit(f.value.length + f.maxEdits))
+      applyFilters(index.corpus.filter(lenOk && okUdf(col(f.field))), filters)
+        .select(col("docId"), one.as("score"))
     case w: WildcardQuery =>
       // Lucene multi-term rewrite: expand against the term dictionary,
       // constant score 1.0 per matching doc. The dictionary scan stays
@@ -257,6 +271,62 @@ final class QueryExec(val index: Index, val exact: Boolean = false) {
       (if (exact) Bm25.scoreColExact(col("tf"), col("norm"), lit(sumIdfD), cacheD)
        else Bm25.scoreCol(col("tf"), col("norm"), lit(sumIdfD.toFloat), cache))
         .as("score"))
+  }
+
+  /** Fuzzy term evaluation — Lucene FuzzyQuery with its default
+    * TopTermsBlendedFreqScoringRewrite (see [[graft.model.FuzzyQuery]]).
+    *
+    * Plan: distributed term-dictionary scan with PUSHED length/prefix
+    * prefilters (a dictionary at 100 TB is large; the UDF edit-distance
+    * runs only on terms inside the ±maxEdits length band) → distributed
+    * top-`maxExpansions` by (boost desc, term asc) — TakeOrderedAndProject,
+    * the same shape as Lucene's TopTermsRewrite priority queue → collect
+    * the ≤50 expansion rows → blend df = max over the expansion set
+    * (BlendedTermQuery.adjustFrequencies) → broadcast-join the postings
+    * scan (filtered to the expanded terms, like any term query) → per-row
+    * boost × BM25 with the blended idf → one aggregation by docId summing
+    * matched expansions (BOOLEAN_REWRITE: SHOULD clauses sum). */
+  private def fuzzyMatches(f: FuzzyQuery, filters: Seq[AttrPredicate]): DataFrame = {
+    if (f.maxEdits <= 0) return matches(TermQuery(f.term), filters)
+    val q = f.term
+    val distUdf = udf((t: String) =>
+      graft.model.EditDistance.bounded(t, q, f.maxEdits, f.transpositions))
+    var dict = index.termStats.filter(
+      length(col("term")).between(lit(q.length - f.maxEdits), lit(q.length + f.maxEdits)))
+    val prefix = q.substring(0, math.min(f.prefixLength, q.length))
+    if (prefix.nonEmpty) dict = dict.filter(col("term").startsWith(prefix))
+    val expansion = dict
+      .withColumn("dist", distUdf(col("term")))
+      .filter(col("dist") >= 0)
+      .withColumn("boost",
+        lit(1.0) - col("dist").cast("double") /
+          least(length(col("term")), lit(q.length)).cast("double"))
+      .select(col("term"), col("df"), col("boost"))
+      .orderBy(col("boost").desc, col("term").asc)
+      .limit(f.maxExpansions)
+      .collect()
+    if (expansion.isEmpty) return matches(MatchNone, filters)
+
+    val blendedDf = expansion.map(_.getLong(1)).max
+    val idfD = Bm25.idf(index.stats.docCount, blendedDf)
+    // per-term weight = boost × idf: float×float in Lucene's float path
+    // (BM25Weight receives the BoostQuery boost), double×double in exact
+    // mode so the DuckDB oracle reproduces it
+    val rows = expansion.map { r =>
+      val boost = r.getDouble(2)
+      (r.getString(0), boost.toFloat * idfD.toFloat, boost * idfD)
+    }.toSeq
+    val weights = spark.createDataFrame(rows).toDF("term", "weightF", "weightD")
+    val terms = rows.map(_._1)
+    val scan = applyFilters(
+      index.postings.filter(col("term").isin(terms: _*)), filters)
+    scan
+      .join(broadcast(weights), "term")
+      .withColumn("tscore",
+        if (exact) Bm25.scoreColExact(col("tf"), col("norm"), col("weightD"), cacheD)
+        else Bm25.scoreCol(col("tf"), col("norm"), col("weightF"), cache))
+      .groupBy(col("docId"))
+      .agg(sum(col("tscore")).cast(scoreType).as("score"))
   }
 
   /** General recursive path for arbitrarily nested boolean trees. */

@@ -46,6 +46,14 @@ object VerifyDrive {
       """{"query":{"text":"\"the the\""},"maxResults":1}""")
     run("PROBE: unterminated quote falls back to word parsing",
       """{"query":{"text":"\"w0000 w0001"},"maxResults":2}""")
+    run("fuzzy term needle_33~1 (expands over the needle_N dictionary)",
+      """{"query":{"text":"needle_33~1"},"maxResults":5}""")
+    run("fielded fuzzy role:usr~1 as MUST leg",
+      """{"query":{"text":"+needle_3 +role:usr~1"},"maxResults":3}""")
+    run("PROBE: fuzzy with no dictionary neighbors (zzzzzz~1)",
+      """{"query":{"text":"zzzzzz~1"},"maxResults":2}""")
+    run("PROBE: malformed fuzzy suffix word~9 analyzes as text",
+      """{"query":{"text":"needle_3~9"},"maxResults":2}""")
     // facet single-pass through the facade
     println("== facets (single pass) ==")
     println(engine.facetJson(graft.model.SearchRequest(text = Some("ambiguous")), Seq("role", "tool")))
