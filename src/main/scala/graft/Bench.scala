@@ -67,12 +67,13 @@ object Bench {
     * allocation + hash maps — memory-bound enough that SMT vCPUs do not
     * scale it 4× from 8→32 threads on this VM; a pure-ALU loop would, and
     * would overstate the ceiling). Returns seconds for the fixed work set. */
-  private def cpuProbe(threads: Int, units: Int = 64): Double = {
+  private def cpuProbe(threads: Int, units: Int = 64,
+                       sentencesPerUnit: Int = 60000): Double = {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
     val work: Runnable = () => {
       var acc = 0L
       var s = 0
-      while (s < 1500) {
+      while (s < sentencesPerUnit) {
         val sb = new java.lang.StringBuilder(256)
         var w = 0
         while (w < 24) { // deterministic pseudo-sentence
@@ -112,14 +113,25 @@ object Bench {
     }
   }
 
-  /** One measured build window: wall seconds, adjacent probe seconds, JVM
-    * cores actually delivered (process-CPU / wall) and host steal (average
-    * cores stolen across the whole VM) DURING the build — the in-window
-    * evidence that a slow reading was the engine and not the host. */
-  final case class Window(cores: Int, secs: Double, probe: Double,
-                          coresDelivered: Double, stealCores: Double) {
+  /** One measured build window: wall seconds, BRACKETING probe seconds
+    * (the calibration probe runs immediately before AND after the timed
+    * build — a mid-window host-speed shift shows up as bracket
+    * disagreement), JVM cores actually delivered (process-CPU / wall) and
+    * host steal (average cores stolen across the whole VM) DURING the
+    * build — in-window evidence that a slow reading was the engine and
+    * not the host. */
+  final case class Window(cores: Int, secs: Double, probeBefore: Double,
+                          probeAfter: Double, coresDelivered: Double,
+                          stealCores: Double) {
+    /** best adjacent hardware reading (min of the bracket) */
+    def probe: Double = math.min(probeBefore, probeAfter)
+    /** the bracket agrees when both sides are within 15% of the best */
+    def bracketOk: Boolean =
+      math.abs(probeBefore - probeAfter) <= 0.15 * probe
     def json: String =
-      s"""{"cores":$cores,"secs":${"%.3f".format(secs)},"probe":${"%.3f".format(probe)},""" +
+      s"""{"cores":$cores,"secs":${"%.3f".format(secs)},""" +
+        s""""probe_before":${"%.3f".format(probeBefore)},""" +
+        s""""probe_after":${"%.3f".format(probeAfter)},""" +
         s""""cores_delivered":${"%.2f".format(coresDelivered)},""" +
         s""""steal_cores":${"%.2f".format(stealCores)}}"""
   }
@@ -135,14 +147,14 @@ object Bench {
                       warm: Boolean): (Long, Window) = {
     val spark = session(cores)
     try {
-      cpuProbe(cores, 8)
-      val probe = (1 to 2).map(_ => cpuProbe(cores)).min
+      cpuProbe(cores, 8, 6000) // JIT-warm the probe kernel (untimed)
       // ingest (untimed): materialize the synthetic corpus like a source table
       val turns = TranscriptGen.generate(spark, numConvs)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nTurns = turns.count()
 
       def oneBuild(dir: String, withCorpus: Boolean = false): Window = {
+        val pBefore = cpuProbe(cores)
         val steal0 = stealJiffies(); val cpu0 = processCpuSecs()
         val (_, secs) = time {
           val corpus = DocIds.forTurns(turns)
@@ -153,10 +165,11 @@ object Bench {
         }
         val stealC = (stealJiffies() - steal0) / 100.0 / secs
         val deliv = if (cpu0 < 0) -1.0 else (processCpuSecs() - cpu0) / secs
+        val pAfter = cpuProbe(cores)
         // drop all build caches so the next run starts clean (GC fairness)
         spark.catalog.clearCache()
         turns.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
-        Window(cores, secs, probe, deliv, stealC)
+        Window(cores, secs, pBefore, pAfter, deliv, stealC)
       }
       if (warm) { oneBuild(s"$outDir-warm", withCorpus = true); System.gc() }
       val w = oneBuild(outDir)
@@ -193,10 +206,12 @@ object Bench {
     // count runs an untimed warm build.
     //
     // Pair protocol (round 3 — the round-2 "best pair" max-over-noise is
-    // gone): a lo/hi pair is VALID only if
-    //   (a) both probes agree with the median probe of their core count
-    //       within 10% (a probe far off its siblings = the host stalled
-    //       near that window),
+    // gone): pair 1 is BURN-IN (recorded, never counted — C2 keeps
+    // compiling through the first sessions, inflating their work); a
+    // later lo/hi pair is VALID only if
+    //   (a) each window's BRACKETING probes agree within 15% (the probe
+    //       runs immediately before AND after the timed build — a
+    //       mid-window host-speed shift breaks the bracket),
     //   (b) the lo build actually RECEIVED its cores (cores_delivered ≥
     //       0.8 × loCores — a steal burst inside the build shows up here
     //       even when the before-probe looked clean; the hi window is not
@@ -209,7 +224,7 @@ object Bench {
     // never clamped. All windows are recorded in the artifact. ----
     val builds = scala.collection.mutable.ArrayBuffer.empty[(Window, Window)]
     var turnsLo = 0L
-    val nPairs = 4
+    val nPairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIRS", "5").toInt
     for (i <- 0 until nPairs) {
       val suffix = ('a' + i).toChar
       val (n, wLo) = buildAt(loCores, numConvs, s"$tmp/idx$loCores$suffix", warm = i == 0)
@@ -222,28 +237,33 @@ object Bench {
       val raw: Double = (lo.secs / hi.secs) / ratio
       val ceil: Double = (lo.probe / hi.probe) / ratio
       val cal: Double = if (ceil > 0) raw / ceil else raw
+      def diagnosticsOk: Boolean = {
+        def deliveryOk(w: Window): Boolean =
+          w.coresDelivered < 0 || w.cores > loCores || w.coresDelivered >= 0.8 * w.cores
+        def stealOk(w: Window): Boolean = w.stealCores <= 0.05 * w.cores
+        lo.bracketOk && hi.bracketOk && deliveryOk(lo) && stealOk(lo) && stealOk(hi)
+      }
     }
     val allPairs = builds.toSeq.map { case (l, h) => Pair(l, h) }
+    val candidates = allPairs.drop(1) // pair 1 = burn-in
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val medPLo = median(allPairs.map(_.lo.probe))
-    val medPHi = median(allPairs.map(_.hi.probe))
-    def probeOk(p: Double, med: Double): Boolean = math.abs(p - med) <= 0.10 * med
-    def deliveryOk(w: Window): Boolean =
-      w.coresDelivered < 0 || w.cores > loCores || w.coresDelivered >= 0.8 * w.cores
-    def stealOk(w: Window): Boolean = w.stealCores <= 0.05 * w.cores
-    val valid = allPairs.filter(p =>
-      probeOk(p.lo.probe, medPLo) && probeOk(p.hi.probe, medPHi) &&
-        deliveryOk(p.lo) && stealOk(p.lo) && stealOk(p.hi) &&
-        p.raw <= 1.05 && p.cal <= 1.05)
-    // `valid` is empty only if every window was disturbed — fall back to
-    // the pair nearest the median raw among all windows (and say so via
-    // pairs_discarded = pairs_total in the artifact)
+    val valid = candidates.filter(p =>
+      p.diagnosticsOk && p.raw <= 1.05 && p.cal <= 1.05)
+    // tiered fallback when every candidate was disturbed: prefer pairs
+    // that at least pass the in-window diagnostics, then the pair nearest
+    // the median raw — pairs_discarded in the artifact says which tier ran
     val survivors =
       if (valid.nonEmpty) valid
-      else Seq(allPairs.minBy(p => math.abs(p.raw - median(allPairs.map(_.raw)))))
+      else {
+        val diag = candidates.filter(_.diagnosticsOk)
+        if (diag.nonEmpty)
+          Seq(diag.minBy(p => math.abs(p.raw - median(diag.map(_.raw)))))
+        else
+          Seq(candidates.minBy(p => math.abs(p.raw - median(candidates.map(_.raw)))))
+      }
     val rawEff = median(survivors.map(_.raw))
     val calEff = median(survivors.map(_.cal))
     val hwCeiling = median(survivors.map(_.ceil))
@@ -345,7 +365,7 @@ object Bench {
         s""""efficiency_vs_hw_ceiling":${"%.3f".format(calEff)},""" +
         s""""surviving_pair_efficiencies_raw":[${survivors.map(p => "%.3f".format(p.raw)).mkString(",")}],""" +
         s""""surviving_pair_efficiencies_vs_ceiling":[${survivors.map(p => "%.3f".format(p.cal)).mkString(",")}],""" +
-        s""""pairs_total":${allPairs.size},"pairs_discarded":${allPairs.size - survivors.size},""" +
+        s""""pairs_total":${candidates.size},"pairs_discarded":${candidates.size - survivors.size},"burnin_pairs":1,""" +
         s""""windows":[${builds.toSeq.flatMap(b => Seq(b._1, b._2)).map(_.json).mkString(",")}]},""" +
         s""""ann_lsh_index_bytes":$annIndexBytes,""" +
         s""""latency":{"p50":${"%.3f".format(pct(0.5))},"p95":${"%.3f".format(pct(0.95))}}}"""

@@ -373,6 +373,24 @@ object Gate {
       sql("""SELECT DISTINCT doc_id, 1.0 AS score FROM post
             |WHERE term LIKE 'sc%n' ORDER BY doc_id LIMIT 1000""".stripMargin)),
 
+    GateQuery("regexp_term",
+      // slash-delimited regexp through the query parser (Lucene
+      // RegexpQuery; constant-score multi-term rewrite over the term
+      // dictionary like wildcards) — /s.a(n|rk)|row/ matches the
+      // dictionary terms scan, spark, row
+      (s, d) => topKDf(s, d, "/s.a(n|rk)|row/", Nil, 1000),
+      sql("""SELECT DISTINCT doc_id, 1.0 AS score FROM post
+            |WHERE regexp_full_match(term, 's.a(n|rk)|row')
+            |ORDER BY doc_id LIMIT 1000""".stripMargin)),
+
+    GateQuery("regexp_field",
+      // fielded regexp on a keyword attribute: role:/e(n|s)/ matches
+      // langs 'en' and 'es', constant score
+      (s, d) => topKDf(s, d, "role:/e(n|s)/", Nil, 1000),
+      Some("""SELECT doc_id, CAST(1.0 AS DOUBLE) AS score FROM documents
+             |WHERE regexp_full_match(lang, 'e(n|s)')
+             |ORDER BY doc_id LIMIT 1000""".stripMargin)),
+
     GateQuery("bm25_wand",
       (s, d) => {
         // the block-max WAND segment kernel, exact-score mode: must equal

@@ -112,6 +112,30 @@ object PhraseQuery {
   }
 }
 
+/** Regexp term over the analyzed text field — `/re/` query syntax
+  * (Lucene RegexpQuery through the query parser; the reference's
+  * StandardQueryParser accepts slash-delimited regexps on any field,
+  * DocumentMapping.java:120-146). Whole-term anchored match against the
+  * term dictionary, constant score 1.0 per matching doc (the same
+  * multi-term CONSTANT_SCORE rewrite as wildcards). The pattern is
+  * lowercased like wildcard terms (SearchBucket.java:171-194 convention);
+  * syntax is the Java-regex subset shared with Lucene's RegExp (literals,
+  * `.` `*` `+` `?` `|` `()` `[]` classes). */
+final case class RegexpQuery(pattern: String) extends Query {
+  def regex: String = "^(?:" + pattern.toLowerCase(java.util.Locale.ROOT) + ")$"
+}
+
+/** Field-qualified regexp from `field:/re/` syntax: anchored match on the
+  * keyword attribute, constant score 1.0. Keyword values are indexed raw,
+  * so matching is case-sensitive on `.exact`/`_exact` views and
+  * lowercase-normalized otherwise, mirroring [[FieldWildcardQuery]]. */
+final case class FieldRegexpQuery(field: String, pattern: String) extends Query {
+  def caseSensitive: Boolean =
+    field.endsWith(".exact") || field.endsWith("_exact")
+  def regex: String = "^(?:" +
+    (if (caseSensitive) pattern else pattern.toLowerCase(java.util.Locale.ROOT)) + ")$"
+}
+
 /** Fuzzy term over the analyzed text field — `word~`, `word~1` query
   * syntax (reference: fuzzy syntax accepted by the per-entity
   * StandardQueryParser, DocumentMapping.java:120-146). Lucene FuzzyQuery
@@ -215,9 +239,18 @@ object QueryText {
         PosAnalyzed(ts.zipWithIndex.map { case (t, i) => PosTerm(t, i) }, ts.length)
       }
     // tokens: optionally-occur-prefixed, optionally-field-prefixed quoted
-    // spans, else non-space runs (the word path below handles their own
-    // occur/field prefixes)
-    val tokenRe = """([+-])?(?:([A-Za-z_][A-Za-z0-9_.]*):)?"([^"]*)"|(\S+)""".r
+    // spans or /slash/ regexp spans, else non-space runs (the word path
+    // below handles their own occur/field prefixes). A regexp span must
+    // END the token (lookahead): path-shaped field values like
+    // `location_exact:/dls/*/data/20??/ab*` keep their slashes literal —
+    // the reference escapes `/` in user text before parsing
+    // (SearchBucket.java:200-204), so in its service paths always win
+    // over Lucene's slash-regexp syntax; only an unambiguous whole-token
+    // `/re/` (or `field:/re/`) is treated as a regexp here.
+    val tokenRe =
+      ("""([+-])?(?:([A-Za-z_][A-Za-z0-9_.]*):)?"([^"]*)"""" +
+        """|([+-])?(?:([A-Za-z_][A-Za-z0-9_.]*):)?/([^/]*)/(?=\s|$)""" +
+        """|(\S+)""").r
     var must = List.empty[Query]
     var should = List.empty[Query]
     var mustNot = List.empty[Query]
@@ -241,7 +274,17 @@ object QueryText {
             PhraseQuery.fromAnalysis(aPos(body))
         }
         node.foreach(addNode(occ, _))
-      } else parseWord(m.group(4), analyze, keywordFields, addNode)
+      } else if (m.group(6) != null) { // /regexp/ span
+        val occ = Option(m.group(4)).map(_.charAt(0)).getOrElse(' ')
+        val body = m.group(6)
+        if (body.nonEmpty) {
+          val node = Option(m.group(5)) match {
+            case Some(f) if keywordFields.contains(f) => FieldRegexpQuery(f, body)
+            case _ => RegexpQuery(body) // `text:` or unknown prefix → default field
+          }
+          addNode(occ, node)
+        }
+      } else parseWord(m.group(7), analyze, keywordFields, addNode)
     }
     if (must.isEmpty && should.isEmpty && mustNot.isEmpty) MatchAll
     else BoolQuery(must.reverse, should.reverse, mustNot.reverse)

@@ -62,6 +62,18 @@ final class NaiveOracle(docs: Seq[NaiveOracle.Doc]) {
     case w: WildcardQuery =>
       val re = w.regex.r
       if (d.terms.exists(t => re.findFirstIn(t).isDefined)) Some(1.0f) else None
+    case r: RegexpQuery =>
+      val re = r.regex.r
+      if (d.terms.exists(t => re.findFirstIn(t).isDefined)) Some(1.0f) else None
+    case r: FieldRegexpQuery =>
+      val re = r.regex.r
+      val value: Option[String] = r.field match {
+        case "role"    => Some(d.role)
+        case "tool"    => d.tool
+        case "conv_id" => Some(d.convId)
+        case other     => sys.error(s"unknown keyword field $other")
+      }
+      if (value.exists(v => re.findFirstIn(v).isDefined)) Some(1.0f) else None
     case p: PhraseQuery => phraseScore(p, d)
     case f: FuzzyQuery  => fuzzyScore(f, d)
     case f: FieldFuzzyQuery =>

@@ -159,11 +159,21 @@ final class QueryExec(val index: Index, val exact: Boolean = false) {
       // Lucene multi-term rewrite: expand against the term dictionary,
       // constant score 1.0 per matching doc. The dictionary scan stays
       // distributed (semi-join postings ⟕ matched terms).
-      val matched = index.termStats
-        .filter(col("term").rlike(w.regex)).select("term")
-      val scan = applyFilters(index.postings.join(matched, "term"), filters)
-      scan.select(col("docId")).distinct()
-        .withColumn("score", one)
+      dictionaryExpand(w.regex, filters)
+    case r: RegexpQuery =>
+      // same CONSTANT_SCORE multi-term rewrite as wildcards, arbitrary
+      // anchored regex against the term dictionary
+      dictionaryExpand(r.regex, filters)
+    case r: FieldRegexpQuery =>
+      // anchored regexp on a keyword attribute column, constant score
+      // (array columns = PathFields hierarchy views: any element matches)
+      val cond = index.corpus.schema(r.field).dataType match {
+        case _: org.apache.spark.sql.types.ArrayType =>
+          exists(col(r.field), t => t.rlike(r.regex))
+        case _ => col(r.field).rlike(r.regex)
+      }
+      applyFilters(index.corpus.filter(cond), filters)
+        .select(col("docId"), one.as("score"))
     case bq: BoolQuery =>
       // Lucene BooleanQuery with ONLY prohibited clauses matches nothing:
       // the reference falls back to MatchAllDocsQuery only when the query
@@ -271,6 +281,16 @@ final class QueryExec(val index: Index, val exact: Boolean = false) {
       (if (exact) Bm25.scoreColExact(col("tf"), col("norm"), lit(sumIdfD), cacheD)
        else Bm25.scoreCol(col("tf"), col("norm"), lit(sumIdfD.toFloat), cache))
         .as("score"))
+  }
+
+  /** Multi-term CONSTANT_SCORE rewrite: docs containing any dictionary
+    * term matching the anchored regex, score 1.0 (wildcard + regexp). */
+  private def dictionaryExpand(regex: String, filters: Seq[AttrPredicate]): DataFrame = {
+    val matched = index.termStats
+      .filter(col("term").rlike(regex)).select("term")
+    val scan = applyFilters(index.postings.join(matched, "term"), filters)
+    scan.select(col("docId")).distinct()
+      .withColumn("score", one)
   }
 
   /** Fuzzy term evaluation — Lucene FuzzyQuery with its default

@@ -28,23 +28,49 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object StreamingIndex {
 
-  /** Postings transform for one micro-batch of turns. */
-  def postingsFor(turns: DataFrame, analyzer: TextAnalyzer): DataFrame = {
-    val analyzeUdf = udf((s: String) => {
-      val a = analyzer(if (s == null) "" else s)
-      val counts = new java.util.LinkedHashMap[String, Int]()
-      a.terms.foreach(t => counts.put(t, counts.getOrDefault(t, 0) + 1))
-      (scala.jdk.CollectionConverters.MapHasAsScala(counts).asScala.toMap, a.positions)
-    })
+  /** Postings transform for one micro-batch of turns. `withPositions`
+    * carries per-term Lucene position lists so a streamed (and compacted)
+    * index can serve phrase queries, matching the batch builder's
+    * positional layout. */
+  def postingsFor(turns: DataFrame, analyzer: TextAnalyzer,
+                  withPositions: Boolean = false): DataFrame = {
     val normUdf = udf((p: Int) => SmallFloat.intToByte4(p))
-    turns
-      .withColumn("docId", xxhash64(col("conv_id"), col("turn_idx")))
-      .withColumn("a", analyzeUdf(col("text")))
-      .select(col("docId"), col("conv_id"), col("turn_idx"),
-        normUdf(col("a._2")).as("norm"),
-        explode(col("a._1")).as(Seq("term", "tf")),
-        col("role"), col("tool"), col("ts"))
-      .withColumn("tf", col("tf").cast("int"))
+    if (withPositions) {
+      val analyzeUdf = udf((s: String) => {
+        val a = analyzer.positional(if (s == null) "" else s)
+        val posLists = new java.util.LinkedHashMap[String, scala.collection.mutable.ArrayBuffer[Int]]()
+        a.terms.foreach { t =>
+          var buf = posLists.get(t.term)
+          if (buf == null) { buf = scala.collection.mutable.ArrayBuffer.empty[Int]; posLists.put(t.term, buf) }
+          buf += t.pos
+        }
+        (scala.jdk.CollectionConverters.MapHasAsScala(posLists).asScala
+          .view.mapValues(_.toSeq).toMap, a.positions)
+      })
+      turns
+        .withColumn("docId", xxhash64(col("conv_id"), col("turn_idx")))
+        .withColumn("a", analyzeUdf(col("text")))
+        .select(col("docId"), col("conv_id"), col("turn_idx"),
+          normUdf(col("a._2")).as("norm"),
+          explode(col("a._1")).as(Seq("term", "positions")),
+          col("role"), col("tool"), col("ts"))
+        .withColumn("tf", size(col("positions")).cast("int"))
+    } else {
+      val analyzeUdf = udf((s: String) => {
+        val a = analyzer(if (s == null) "" else s)
+        val counts = new java.util.LinkedHashMap[String, Int]()
+        a.terms.foreach(t => counts.put(t, counts.getOrDefault(t, 0) + 1))
+        (scala.jdk.CollectionConverters.MapHasAsScala(counts).asScala.toMap, a.positions)
+      })
+      turns
+        .withColumn("docId", xxhash64(col("conv_id"), col("turn_idx")))
+        .withColumn("a", analyzeUdf(col("text")))
+        .select(col("docId"), col("conv_id"), col("turn_idx"),
+          normUdf(col("a._2")).as("norm"),
+          explode(col("a._1")).as(Seq("term", "tf")),
+          col("role"), col("tool"), col("ts"))
+        .withColumn("tf", col("tf").cast("int"))
+    }
   }
 
   /** Batch compaction of a streamed postings table: re-mints DENSE docIds
@@ -75,10 +101,14 @@ object StreamingIndex {
     val corpus = graft.corpus.DocIds.forTurns(turns)
     val mapping = corpus.select(
       col("docId").as("__denseId"), col("conv_id"), col("turn_idx"))
+    // positional streams keep their position lists through the re-key, so
+    // a compacted streamed index serves phrases like a batch build
+    val posCols = if (streamed.columns.contains("positions"))
+      Seq(col("positions")) else Nil
     val postings = streamed
       .join(mapping, Seq("conv_id", "turn_idx"))
-      .select(col("__denseId").as("docId"), col("norm"), col("term"), col("tf"),
-        col("role"), col("tool"), col("ts"))
+      .select(Seq(col("__denseId").as("docId"), col("norm"), col("term"),
+        col("tf")) ++ posCols ++ Seq(col("role"), col("tool"), col("ts")): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val termStats = postings.groupBy(col("term"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
@@ -97,7 +127,8 @@ object StreamingIndex {
     * knob, run.properties:5-6 in the reference). */
   def start(spark: SparkSession, inDir: String, outDir: String,
             checkpointDir: String, triggerSecs: Int = 5,
-            analyzer: TextAnalyzer = Analyzers.Icat): StreamingQuery = {
+            analyzer: TextAnalyzer = Analyzers.Icat,
+            withPositions: Boolean = false): StreamingQuery = {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("conv_id", org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("turn_idx", org.apache.spark.sql.types.IntegerType),
@@ -106,7 +137,7 @@ object StreamingIndex {
       org.apache.spark.sql.types.StructField("tool", org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType)))
     val stream = spark.readStream.schema(schema).parquet(inDir)
-    postingsFor(stream, analyzer)
+    postingsFor(stream, analyzer, withPositions)
       .writeStream
       .format("parquet")
       .option("path", outDir)

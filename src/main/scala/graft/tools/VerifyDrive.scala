@@ -54,6 +54,12 @@ object VerifyDrive {
       """{"query":{"text":"zzzzzz~1"},"maxResults":2}""")
     run("PROBE: malformed fuzzy suffix word~9 analyzes as text",
       """{"query":{"text":"needle_3~9"},"maxResults":2}""")
+    run("regexp term /needle_[0-9]/ (anchored dictionary expansion)",
+      """{"query":{"text":"/needle_[0-9]/"},"maxResults":3}""")
+    run("fielded regexp role:/us.r/ as MUST leg",
+      """{"query":{"text":"+needle_3 +role:/us.r/"},"maxResults":3}""")
+    run("PROBE: empty regexp // is dropped (match-all)",
+      """{"query":{"text":"//"},"maxResults":1}""")
     // facet single-pass through the facade
     println("== facets (single pass) ==")
     println(engine.facetJson(graft.model.SearchRequest(text = Some("ambiguous")), Seq("role", "tool")))

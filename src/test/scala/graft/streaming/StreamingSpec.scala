@@ -63,6 +63,38 @@ class StreamingSpec extends SparkSuite {
     assert(ids.head === 0L && ids.last === ids.length - 1L)
   }
 
+  test("positional stream → compact serves phrases like a batch build") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-streamp").toString
+    val inDir = s"$base/in"
+    new java.io.File(inDir).mkdirs()
+    val texts = Seq(
+      "merge conflict resolved", "conflict merge resolved",
+      "merge conflict", "plain words only")
+    texts.zipWithIndex.map { case (t, i) =>
+      graft.model.Turn(f"conv-$i%03d", 0, "user", t, None,
+        new java.sql.Timestamp(1767225600000L + i * 60000L))
+    }.toDS().toDF().coalesce(1).write.mode("overwrite").parquet(inDir)
+
+    val q = StreamingIndex.start(spark, inDir, s"$base/out", s"$base/ck",
+      triggerSecs = 1, withPositions = true)
+    try q.processAllAvailable() finally q.stop()
+
+    val allTurns = spark.read.parquet(inDir).as[graft.model.Turn]
+    val compacted = StreamingIndex.compact(spark.read.parquet(s"$base/out"), allTurns)
+    assert(compacted.hasPositions)
+    val batchIdx = graft.build.IndexBuilder.build(
+      graft.corpus.DocIds.forTurns(allTurns), Analyzers.Icat, withPositions = true)
+    val phrase = graft.model.QueryText.parse("\"merge conflict\"",
+      s => Analyzers.Icat(s).terms,
+      analyzePos = s => Analyzers.Icat.positional(s))
+    def hits(idx: graft.build.Index) =
+      new graft.score.QueryExec(idx).topK(phrase, Nil, 10)
+        .collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+    assert(hits(compacted) === hits(batchIdx))
+    assert(hits(compacted).map(_._1).sorted === Seq(0L, 2L))
+  }
+
   test("compaction fails loudly on a surrogate docId collision") {
     import spark.implicits._
     // two DISTINCT natural keys forged onto one surrogate id
