@@ -62,38 +62,35 @@ object Bench {
 
   /** Workload-matched calibration probe: the engine's own analysis kernel
     * (tokenize + stem + tf-map counting over synthetic sentences) on a
-    * plain fixed thread pool, no Spark. This measures what the HOST
-    * delivers for the build's actual workload class (string scanning +
-    * allocation + hash maps — memory-bound enough that SMT vCPUs do not
+    * plain fixed thread pool — see [[BenchProbe]]. This measures what the
+    * HOST delivers for the build's actual workload class (string scanning
+    * + allocation + hash maps — memory-bound enough that SMT vCPUs do not
     * scale it 4× from 8→32 threads on this VM; a pure-ALU loop would, and
-    * would overstate the ceiling). Returns seconds for the fixed work set. */
-  private def cpuProbe(threads: Int, units: Int = 64,
-                       sentencesPerUnit: Int = 60000): Double = {
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
-    val work: Runnable = () => {
-      var acc = 0L
-      var s = 0
-      while (s < sentencesPerUnit) {
-        val sb = new java.lang.StringBuilder(256)
-        var w = 0
-        while (w < 24) { // deterministic pseudo-sentence
-          val x = (s * 31 + w * 7 + 13) & 0xffff
-          sb.append("word").append(x).append(
-            if ((x & 3) == 0) "'s " else if ((x & 3) == 1) "ing " else " ")
-          w += 1
-        }
-        val a = graft.analysis.Analyzers.Icat(sb.toString)
-        acc += a.terms.length + a.positions
-        s += 1
-      }
-      if (acc == 42L) println("") // defeat DCE
+    * would overstate the ceiling).
+    *
+    * Runs in a FRESH SUBPROCESS with its own small heap: an in-JVM probe
+    * taken right after a build measures the bench JVM's GC debt, not the
+    * host (observed 20× inflation on the post-build side of a bracket).
+    * Returns seconds for the fixed work set; in-process fallback if the
+    * subprocess cannot start. */
+  private def cpuProbe(threads: Int): Double = {
+    val javaBin = sys.props("java.home") + "/bin/java"
+    val cp = sys.props("java.class.path")
+    try {
+      val pb = new ProcessBuilder(javaBin, "-Xmx2g", "-cp", cp,
+        "graft.BenchProbe", threads.toString)
+      pb.redirectErrorStream(true)
+      val p = pb.start()
+      val out = new String(p.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val rc = p.waitFor()
+      val last = out.trim.split("\n").last.trim
+      if (rc == 0) last.toDouble
+      else { BenchProbe.run(threads, 64, 6000); BenchProbe.run(threads, 64, 60000) }
+    } catch {
+      case _: Exception =>
+        BenchProbe.run(threads, 64, 6000); BenchProbe.run(threads, 64, 60000)
     }
-    val (_, secs) = time {
-      val fs = (0 until units).map(_ => pool.submit(work))
-      fs.foreach(_.get())
-    }
-    pool.shutdown()
-    secs
   }
 
   /** Host steal jiffies from /proc/stat (field 9 of the aggregate cpu
@@ -147,7 +144,6 @@ object Bench {
                       warm: Boolean): (Long, Window) = {
     val spark = session(cores)
     try {
-      cpuProbe(cores, 8, 6000) // JIT-warm the probe kernel (untimed)
       // ingest (untimed): materialize the synthetic corpus like a source table
       val turns = TranscriptGen.generate(spark, numConvs)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

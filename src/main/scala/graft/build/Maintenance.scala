@@ -47,7 +47,11 @@ object Maintenance {
     val corpus = index.corpus.unionByName(newCorpus)
     val postings = index.postings.unionByName(delta.postings)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    rebuild(index, corpus, postings)
+    val out = rebuild(index, corpus, postings)
+    // the merged postings cache is materialized by rebuild's stats action;
+    // the delta's own caches are now redundant intermediates
+    delta.unpersistAll(includeCorpus = false)
+    out
   }
 
   /** Update = delete + add (reference: Lucene.java:327-330, 1788-1830).
@@ -60,7 +64,9 @@ object Maintenance {
     val corpus = corpusKept.unionByName(updated)
     val postings = postingsKept.unionByName(delta.postings)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    rebuild(index, corpus, postings)
+    val out = rebuild(index, corpus, postings)
+    delta.unpersistAll(includeCorpus = false)
+    out
   }
 
   /** Denormalization refresh (reference: updateByRelation,

@@ -84,6 +84,33 @@ object Gate {
   // quantization identical to graft.build.SmallFloat; BM25 identical to
   // QueryExec's exact mode (k1=1.2, b=0.75, all-double arithmetic).
 
+  /** Mutation-oracle prelude: the same tokenize/quantize/score pipeline,
+    * but over an arbitrary source relation (a CTE named by the caller) —
+    * delete/add oracles replay the whole pipeline over the MUTATED
+    * document set, proving the engine's stats recomputation (N, df,
+    * avgdl all shift) after the mutation. */
+  private def mutCte(from: String): String =
+    s"""toks AS (
+      |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS term
+      |  FROM $from
+      |), dl AS (
+      |  SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+      |), dlq AS (
+      |  SELECT doc_id, CASE WHEN dl < 8 THEN dl
+      |    ELSE ((((dl >> (CAST(floor(log2(dl)) AS INT) - 3)) & 7) | 8) << (CAST(floor(log2(dl)) AS INT) - 3)) END AS dlq
+      |  FROM dl
+      |), stats AS (
+      |  SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM dl
+      |), post AS (
+      |  SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id
+      |), tstat AS (
+      |  SELECT term, count(*) AS df FROM post GROUP BY term
+      |), scores AS (
+      |  SELECT p.term, p.doc_id,
+      |    ln(1 + (s.n - t.df + 0.5) / (t.df + 0.5)) * p.tf / (p.tf + 1.2 * (0.25 + 0.75 * q.dlq / s.avgdl)) AS tscore
+      |  FROM post p JOIN dlq q USING (doc_id) JOIN tstat t USING (term) CROSS JOIN stats s
+      |)""".stripMargin
+
   private val cte =
     """WITH toks AS (
       |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS term
@@ -299,6 +326,94 @@ object Gate {
       Some("""SELECT source AS tool, count(*) AS turn_count,
              |  CAST(sum(length(text)) AS BIGINT) AS total_chars
              |FROM documents GROUP BY source ORDER BY tool""".stripMargin)),
+
+    GateQuery("maint_delete_rescore",
+      // delete-by-id then re-score (reference: LongPoint exact delete,
+      // Lucene.java:301-317; IndexWriter.commit visibility): docs from
+      // source 'src0' are deleted and a term query re-scored against the
+      // SURVIVING index — N, df and avgdl all shift, so the oracle replays
+      // the whole pipeline over the filtered document set
+      (s, d) => {
+        import s.implicits._
+        val (shared, _) = gate(s, d)
+        val idx = IndexBuilder.build(shared.corpus, Analyzers.Simple)
+        val delIds = shared.corpus.filter(col("tool") === "src0")
+          .select("docId").as[Long].collect().toSeq
+        val after = graft.build.Maintenance.deleteDocs(idx, delIds)
+        val out = new QueryExec(after, exact = true).topK(TermQuery("spark"), Nil, 20)
+          .select(col("docId").as("doc_id"), round(col("score"), 4).as("score"))
+        val rows = out.collect().toSeq
+        after.unpersistAll(includeCorpus = false) // transient mutation result
+        s.createDataFrame(s.sparkContext.parallelize(rows), out.schema)
+      },
+      Some(s"""WITH fdocs AS (SELECT * FROM documents WHERE source <> 'src0'),
+              |${mutCte("fdocs")}
+              |SELECT doc_id, round(tscore, 4) AS score FROM scores WHERE term = 'spark'
+              |ORDER BY tscore DESC, doc_id LIMIT 20""".stripMargin)),
+
+    GateQuery("maint_add_rescore",
+      // create/append (reference: modify create, Lucene.java:599-622):
+      // five new short docs are appended (ids continue after the current
+      // max in stable (conv_id, turn_idx) order) and the same term query
+      // re-scored — the added docs change df/avgdl AND enter the top-k
+      (s, d) => {
+        import s.implicits._
+        val (shared, _) = gate(s, d)
+        val idx = IndexBuilder.build(shared.corpus, Analyzers.Simple)
+        val newTurns = (0 until 5).map(i => graft.model.Turn(f"zz-conv-$i%02d", 0,
+          "xx", "spark table spark merge", None,
+          new java.sql.Timestamp(1767225600000L))).toDS()
+        val after = graft.build.Maintenance.addTurns(idx, newTurns, Analyzers.Simple)
+        val out = new QueryExec(after, exact = true).topK(TermQuery("spark"), Nil, 20)
+          .select(col("docId").as("doc_id"), round(col("score"), 4).as("score"))
+        val rows = out.collect().toSeq
+        after.unpersistAll(includeCorpus = false)
+        s.createDataFrame(s.sparkContext.parallelize(rows), out.schema)
+      },
+      Some(s"""WITH fdocs AS (
+              |  SELECT doc_id, text FROM documents
+              |  UNION ALL
+              |  SELECT * FROM (VALUES (500, 'spark table spark merge'),
+              |    (501, 'spark table spark merge'), (502, 'spark table spark merge'),
+              |    (503, 'spark table spark merge'), (504, 'spark table spark merge'))
+              |    AS t(doc_id, text)),
+              |${mutCte("fdocs")}
+              |SELECT doc_id, round(tscore, 4) AS score FROM scores WHERE term = 'spark'
+              |ORDER BY tscore DESC, doc_id LIMIT 20""".stripMargin)),
+
+    GateQuery("maint_update_relation",
+      // updateByRelation denormalization (reference: Lucene.java:1846-1939
+      // — parent-entity change rewrites flattened fields on all children):
+      // a dimension keyed by tool rewrites the role column corpus-wide
+      (s, d) => {
+        val (idx, _) = gate(s, d)
+        val dim = idx.corpus.select(col("tool")).distinct()
+          .withColumn("role", concat(lit("x"), col("tool")))
+        graft.build.Maintenance.updateByRelation(idx.corpus, dim, "tool", Seq("role"))
+          .select(col("docId").as("doc_id"), col("role"))
+          .orderBy("doc_id").limit(500)
+      },
+      Some("""SELECT doc_id, 'x' || source AS role FROM documents
+             |ORDER BY doc_id LIMIT 500""".stripMargin)),
+
+    GateQuery("maint_prune_update",
+      // pruneDocument + updateDocumentFields (reference: Lucene.java:
+      // 1706-1750): tool pruned (nulled) on docs 0-9, role replaced on
+      // docs 5-14 — overlapping targets prove per-field independence
+      (s, d) => {
+        val (idx, _) = gate(s, d)
+        val pruned = graft.build.Maintenance.pruneFields(
+          idx.corpus, (0L to 9L).toSeq, Seq("tool"))
+        val updated = graft.build.Maintenance.updateFields(
+          pruned, (5L to 14L).toSeq, Map("role" -> "zz"))
+        updated.filter(col("docId") < 20)
+          .select(col("docId").as("doc_id"), col("role"), col("tool"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CASE WHEN doc_id BETWEEN 5 AND 14 THEN 'zz' ELSE lang END AS role,
+             |  CASE WHEN doc_id <= 9 THEN NULL ELSE source END AS tool
+             |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin)),
 
     GateQuery("topk_sort_role",
       // generalized typed field sort through the engine (role asc, ts

@@ -39,7 +39,7 @@ class GateSpec extends SparkSuite {
       val unknown = froms -- tables --
         Set("toks", "ptoks", "dl", "dlq", "stats", "post", "tstat", "scores", "arr", "sh",
           "sizes", "counts", "documents", "events", "embeddings", "w",
-          "th", "bits", "fp")
+          "th", "bits", "fp", "fdocs")
       assert(unknown.isEmpty, s"oracle references unknown tables: $unknown")
     }
   }
