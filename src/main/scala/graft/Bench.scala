@@ -40,11 +40,12 @@ object Bench {
     java.nio.file.Files.createTempDirectory(base, "graft-bench").toString
   }
 
-  private def session(cores: Int): SparkSession = {
+  private def session(cores: Int, shufflePartitions: Int = 0): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-bench-$cores")
-      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.shuffle.partitions",
+        if (shufflePartitions > 0) shufflePartitions else cores)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")
@@ -71,9 +72,18 @@ object Bench {
     * Runs in a FRESH SUBPROCESS with its own small heap: an in-JVM probe
     * taken right after a build measures the bench JVM's GC debt, not the
     * host (observed 20× inflation on the post-build side of a bracket).
-    * Returns seconds for the fixed work set; in-process fallback if the
-    * subprocess cannot start. */
-  private def cpuProbe(threads: Int): Double = {
+    * Returns (analyzerSecs, aluSecs): the workload-matched drift probe
+    * and the pure-ALU hardware-CEILING probe (see BenchProbe — the
+    * ceiling must come from the best-scaling workload, or raw/ceiling
+    * exceeds 1 whenever the build out-scales an allocation-bound probe).
+    * In-process fallback if the subprocess cannot start. */
+  private def cpuProbe(threads: Int): (Double, Double) = {
+    def inProcess(): (Double, Double) = {
+      BenchProbe.run(threads, 64, 6000)
+      val a = BenchProbe.run(threads, 64, 60000)
+      BenchProbe.runAlu(threads, 64, 40000000)
+      (a, BenchProbe.runAlu(threads, 64, 400000000))
+    }
     val javaBin = sys.props("java.home") + "/bin/java"
     val cp = sys.props("java.class.path")
     try {
@@ -84,13 +94,10 @@ object Bench {
       val out = new String(p.getInputStream.readAllBytes(),
         java.nio.charset.StandardCharsets.UTF_8)
       val rc = p.waitFor()
-      val last = out.trim.split("\n").last.trim
-      if (rc == 0) last.toDouble
-      else { BenchProbe.run(threads, 64, 6000); BenchProbe.run(threads, 64, 60000) }
-    } catch {
-      case _: Exception =>
-        BenchProbe.run(threads, 64, 6000); BenchProbe.run(threads, 64, 60000)
-    }
+      val parts = out.trim.split("\n").last.trim.split("\\s+")
+      if (rc == 0 && parts.length == 2) (parts(0).toDouble, parts(1).toDouble)
+      else inProcess()
+    } catch { case _: Exception => inProcess() }
   }
 
   /** Host steal jiffies from /proc/stat (field 9 of the aggregate cpu
@@ -118,17 +125,27 @@ object Bench {
     * build — in-window evidence that a slow reading was the engine and
     * not the host. */
   final case class Window(cores: Int, secs: Double, probeBefore: Double,
-                          probeAfter: Double, coresDelivered: Double,
+                          probeAfter: Double, aluBefore: Double,
+                          aluAfter: Double, coresDelivered: Double,
                           stealCores: Double) {
-    /** best adjacent hardware reading (min of the bracket) */
+    /** best adjacent workload-matched reading (min of the bracket) */
     def probe: Double = math.min(probeBefore, probeAfter)
-    /** the bracket agrees when both sides are within 15% of the best */
+    /** best adjacent pure-ALU ceiling reading */
+    def alu: Double = math.min(aluBefore, aluAfter)
+    /** Validity bracket: the ALU (ceiling) probe must agree within 15%.
+      * The analyzer probe's bracket is ADVISORY ONLY (recorded, not
+      * gated): on this host it swings ±40% with co-tenant memory-traffic
+      * phases SHORTER than an 8-core build window, so gating on it
+      * rejects nearly every window while the build-relevant instruments
+      * (ALU bracket, cores-delivered, steal) stay clean. */
     def bracketOk: Boolean =
-      math.abs(probeBefore - probeAfter) <= 0.15 * probe
+      math.abs(aluBefore - aluAfter) <= 0.15 * alu
     def json: String =
       s"""{"cores":$cores,"secs":${"%.3f".format(secs)},""" +
         s""""probe_before":${"%.3f".format(probeBefore)},""" +
         s""""probe_after":${"%.3f".format(probeAfter)},""" +
+        s""""alu_before":${"%.3f".format(aluBefore)},""" +
+        s""""alu_after":${"%.3f".format(aluAfter)},""" +
         s""""cores_delivered":${"%.2f".format(coresDelivered)},""" +
         s""""steal_cores":${"%.2f".format(stealCores)}}"""
   }
@@ -142,7 +159,10 @@ object Bench {
     * takes the best per count. */
   private def buildAt(cores: Int, numConvs: Long, outDir: String,
                       warm: Boolean): (Long, Window) = {
-    val spark = session(cores)
+    // 2× tasks per stage in the scaling sessions: with exactly `cores`
+    // equal tasks, one straggler idles every other core at the stage tail
+    // (observed ~26/32 cores delivered); finer tasks pack the tail
+    val spark = session(cores, cores * 2)
     try {
       // ingest (untimed): materialize the synthetic corpus like a source table
       val turns = TranscriptGen.generate(spark, numConvs)
@@ -150,7 +170,7 @@ object Bench {
       val nTurns = turns.count()
 
       def oneBuild(dir: String, withCorpus: Boolean = false): Window = {
-        val pBefore = cpuProbe(cores)
+        val (pBefore, aBefore) = cpuProbe(cores)
         val steal0 = stealJiffies(); val cpu0 = processCpuSecs()
         val (_, secs) = time {
           val corpus = DocIds.forTurns(turns)
@@ -161,11 +181,11 @@ object Bench {
         }
         val stealC = (stealJiffies() - steal0) / 100.0 / secs
         val deliv = if (cpu0 < 0) -1.0 else (processCpuSecs() - cpu0) / secs
-        val pAfter = cpuProbe(cores)
+        val (pAfter, aAfter) = cpuProbe(cores)
         // drop all build caches so the next run starts clean (GC fairness)
         spark.catalog.clearCache()
         turns.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
-        Window(cores, secs, pBefore, pAfter, deliv, stealC)
+        Window(cores, secs, pBefore, pAfter, aBefore, aAfter, deliv, stealC)
       }
       if (warm) { oneBuild(s"$outDir-warm", withCorpus = true); System.gc() }
       val w = oneBuild(outDir)
@@ -205,9 +225,10 @@ object Bench {
     // gone): pair 1 is BURN-IN (recorded, never counted — C2 keeps
     // compiling through the first sessions, inflating their work); a
     // later lo/hi pair is VALID only if
-    //   (a) each window's BRACKETING probes agree within 15% (the probe
-    //       runs immediately before AND after the timed build — a
-    //       mid-window host-speed shift breaks the bracket),
+    //   (a) each window's ALU (ceiling) probe bracket agrees within 15%
+    //       (probes run immediately before AND after the timed build — a
+    //       mid-window host-speed shift breaks the bracket; the analyzer
+    //       probe's bracket is advisory, see Window.bracketOk),
     //   (b) the lo build actually RECEIVED its cores (cores_delivered ≥
     //       0.8 × loCores — a steal burst inside the build shows up here
     //       even when the before-probe looked clean; the hi window is not
@@ -231,7 +252,12 @@ object Bench {
     val ratio = hiCores.toDouble / loCores
     final case class Pair(lo: Window, hi: Window) {
       val raw: Double = (lo.secs / hi.secs) / ratio
-      val ceil: Double = (lo.probe / hi.probe) / ratio
+      // the CEILING comes from the pure-ALU probe — the best-scaling
+      // workload this host can run, so no real job's raw can exceed it
+      // (modulo noise); the analyzer-probe ratio is recorded for context
+      // (the build's actual mix scales between the two)
+      val ceil: Double = (lo.alu / hi.alu) / ratio
+      val ceilAnalyzer: Double = (lo.probe / hi.probe) / ratio
       val cal: Double = if (ceil > 0) raw / ceil else raw
       def diagnosticsOk: Boolean = {
         def deliveryOk(w: Window): Boolean =
@@ -358,6 +384,7 @@ object Bench {
         s""""turns_per_sec_lo":${"%.1f".format(thrLo)},"turns_per_sec_hi":${"%.1f".format(thrHi)},""" +
         s""""efficiency_raw":${"%.3f".format(rawEff)},""" +
         s""""hw_ceiling_probe":${"%.3f".format(hwCeiling)},""" +
+        s""""workload_probe_ratio":${"%.3f".format(median(survivors.map(_.ceilAnalyzer)))},""" +
         s""""efficiency_vs_hw_ceiling":${"%.3f".format(calEff)},""" +
         s""""surviving_pair_efficiencies_raw":[${survivors.map(p => "%.3f".format(p.raw)).mkString(",")}],""" +
         s""""surviving_pair_efficiencies_vs_ceiling":[${survivors.map(p => "%.3f".format(p.cal)).mkString(",")}],""" +
