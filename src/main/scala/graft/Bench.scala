@@ -277,14 +277,14 @@ object Bench {
     // tiered fallback when every candidate was disturbed: prefer pairs
     // that at least pass the in-window diagnostics, then the pair nearest
     // the median raw — pairs_discarded in the artifact says which tier ran
-    val survivors =
-      if (valid.nonEmpty) valid
+    val (survivors, fallbackTier) =
+      if (valid.nonEmpty) (valid, 0)
       else {
         val diag = candidates.filter(_.diagnosticsOk)
         if (diag.nonEmpty)
-          Seq(diag.minBy(p => math.abs(p.raw - median(diag.map(_.raw)))))
+          (Seq(diag.minBy(p => math.abs(p.raw - median(diag.map(_.raw))))), 1)
         else
-          Seq(candidates.minBy(p => math.abs(p.raw - median(candidates.map(_.raw)))))
+          (Seq(candidates.minBy(p => math.abs(p.raw - median(candidates.map(_.raw))))), 2)
       }
     val rawEff = median(survivors.map(_.raw))
     val calEff = median(survivors.map(_.cal))
@@ -389,6 +389,9 @@ object Bench {
         s""""surviving_pair_efficiencies_raw":[${survivors.map(p => "%.3f".format(p.raw)).mkString(",")}],""" +
         s""""surviving_pair_efficiencies_vs_ceiling":[${survivors.map(p => "%.3f".format(p.cal)).mkString(",")}],""" +
         s""""pairs_total":${candidates.size},"pairs_discarded":${candidates.size - survivors.size},"burnin_pairs":1,""" +
+        // fallback_tier: 0 = gated-valid survivors; 1/2 = every pair was
+        // disturbed and the headline is a labeled fallback reading
+        s""""fallback_tier":$fallbackTier,""" +
         s""""windows":[${builds.toSeq.flatMap(b => Seq(b._1, b._2)).map(_.json).mkString(",")}]},""" +
         s""""ann_lsh_index_bytes":$annIndexBytes,""" +
         s""""latency":{"p50":${"%.3f".format(pct(0.5))},"p95":${"%.3f".format(pct(0.95))}}}"""
