@@ -202,7 +202,12 @@ object Bench {
     "q_and" -> "+needle_3 +rare_001",
     "q_not" -> "+needle_1 -ambiguous",
     "q_ambig" -> "ambiguous",
-    "q_mix" -> "rare_002 w0003 needle_5")
+    "q_mix" -> "rare_002 w0003 needle_5",
+    // round-4: the round-3 operators join the frozen set so phrase /
+    // fuzzy / regexp latency is tracked round-over-round
+    "q_phrase" -> "\"w0000 w0001\"",
+    "q_fuzzy" -> "hydrgen~2",
+    "q_regexp" -> "/need.e_[0-9]/")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -242,6 +247,9 @@ object Bench {
     val builds = scala.collection.mutable.ArrayBuffer.empty[(Window, Window)]
     var turnsLo = 0L
     val nPairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIRS", "5").toInt
+    require(nPairs >= 2,
+      s"SPARK_GRAFT_BENCH_PAIRS=$nPairs: at least 2 pairs are required " +
+        "(pair 1 is burn-in and is never counted)")
     for (i <- 0 until nPairs) {
       val suffix = ('a' + i).toChar
       val (n, wLo) = buildAt(loCores, numConvs, s"$tmp/idx$loCores$suffix", warm = i == 0)
@@ -272,26 +280,36 @@ object Bench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val valid = candidates.filter(p =>
-      p.diagnosticsOk && p.raw <= 1.05 && p.cal <= 1.05)
-    // tiered fallback when every candidate was disturbed: prefer pairs
-    // that at least pass the in-window diagnostics, then the pair nearest
-    // the median raw — pairs_discarded in the artifact says which tier ran
+    def physOk(p: Pair): Boolean = p.raw <= 1.05 && p.cal <= 1.05
+    val valid = candidates.filter(p => p.diagnosticsOk && physOk(p))
+    // Fallback when every candidate was disturbed: the ≤1.05
+    // physical-possibility cap applies in EVERY tier (round-3's tier-1
+    // fallback skipped it and headlined an impossible 1.699 — judge
+    // finding r3). Tier 1 = diagnostics failed but a physically-possible
+    // pair exists (nearest the median raw). Tier 2 = NO pair is even
+    // physically possible: the headline efficiencies are null and the
+    // windows array is the record.
     val (survivors, fallbackTier) =
       if (valid.nonEmpty) (valid, 0)
       else {
-        val diag = candidates.filter(_.diagnosticsOk)
-        if (diag.nonEmpty)
-          (Seq(diag.minBy(p => math.abs(p.raw - median(diag.map(_.raw))))), 1)
-        else
-          (Seq(candidates.minBy(p => math.abs(p.raw - median(candidates.map(_.raw))))), 2)
+        val phys = candidates.filter(physOk)
+        if (phys.nonEmpty)
+          (Seq(phys.minBy(p => math.abs(p.raw - median(phys.map(_.raw))))), 1)
+        else (Nil, 2)
       }
-    val rawEff = median(survivors.map(_.raw))
-    val calEff = median(survivors.map(_.cal))
-    val hwCeiling = median(survivors.map(_.ceil))
+    val rawEff = if (survivors.isEmpty) None else Some(median(survivors.map(_.raw)))
+    val calEff = if (survivors.isEmpty) None else Some(median(survivors.map(_.cal)))
+    val hwCeiling = if (survivors.isEmpty) None else Some(median(survivors.map(_.ceil)))
+    val probeRatio = if (survivors.isEmpty) None
+                     else Some(median(survivors.map(_.ceilAnalyzer)))
     // throughput is reported from the median-raw surviving pair (the same
-    // pair family the headline efficiency comes from)
-    val medPair = survivors.minBy(p => math.abs(p.raw - rawEff))
+    // pair family the headline efficiency comes from); with no survivors
+    // (tier 2) the wall-clock numbers still come from the pair nearest the
+    // median raw — they are real measurements, only the EFFICIENCY claim
+    // is withheld
+    val medPair = if (survivors.nonEmpty)
+      survivors.minBy(p => math.abs(p.raw - rawEff.get))
+    else candidates.minBy(p => math.abs(p.raw - median(candidates.map(_.raw))))
     val (secsLo, secsHi) = (medPair.lo.secs, medPair.hi.secs)
     val thrLo = turnsLo / secsLo
     val thrHi = turnsLo / secsHi
@@ -301,10 +319,12 @@ object Bench {
     // postings cache fits in memory) ----
     val spark = session(cpus)
     val queryIdxDir = s"$tmp/queryIdx"
+    // positional index: the frozen set now carries a phrase query
     IndexBuilder.buildAndSave(
       DocIds.forTurns(TranscriptGen.generate(spark, 6000L)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)),
-      Analyzers.Icat, queryIdxDir, hotDfThreshold = 10000L, writeCorpus = true)
+      Analyzers.Icat, queryIdxDir, hotDfThreshold = 10000L, writeCorpus = true,
+      withPositions = true)
     val engine = new graft.api.SearchEngine(IndexBuilder.load(spark, queryIdxDir))
     val exec = new QueryExec(engine.index)
     engine.index.postings.persist().count()
@@ -314,7 +334,8 @@ object Bench {
     segments.count()
 
     def runFlat(text: String): Long =
-      exec.topK(QueryText.parse(text, s => Analyzers.Icat(s).terms), Nil, 10).count()
+      exec.topK(QueryText.parse(text, s => Analyzers.Icat(s).terms,
+        analyzePos = s => Analyzers.Icat.positional(s)), Nil, 10).count()
     def runWand(text: String): Long = {
       val terms = text.split(" ").filterNot(_.startsWith("-")).map(_.stripPrefix("+"))
         .flatMap(Analyzers.Icat(_).terms).toSeq
@@ -330,10 +351,12 @@ object Bench {
       runFlat(text) // warm
       latencies(name) = time(runFlat(text))._2
     }
-    querySet.filterNot(_._2.contains("+")).foreach { case (name, text) =>
-      runWand(text)
-      latencies(s"${name}_wand") = time(runWand(text))._2
-    }
+    // WAND variants only for the pure-disjunction term queries
+    querySet.filterNot(q => Seq("+", "\"", "~", "/").exists(q._2.contains(_)))
+      .foreach { case (name, text) =>
+        runWand(text)
+        latencies(s"${name}_wand") = time(runWand(text))._2
+      }
     val sortedLat = latencies.values.toSeq.sorted
     def pct(p: Double): Double =
       sortedLat((p * (sortedLat.size - 1)).round.toInt)
@@ -376,26 +399,41 @@ object Bench {
     def jmap(m: collection.Map[String, Double]): String =
       m.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }.mkString("{", ",", "}")
 
+    def fmtOpt(o: Option[Double]): String = o.map("%.3f".format(_)).getOrElse("null")
     val json =
       s"""{"metric":"index-build + query suite (build@$loCores+build@$hiCores + queries)","value":${"%.3f".format(total)},"unit":"sec",""" +
         s""""queries":${jmap(allTimes)},"sf":"$sfDir",""" +
         s""""scaling":{"turns":$turnsLo,"cores_lo":$loCores,"cores_hi":$hiCores,""" +
         s""""build_secs_lo":${"%.3f".format(secsLo)},"build_secs_hi":${"%.3f".format(secsHi)},""" +
         s""""turns_per_sec_lo":${"%.1f".format(thrLo)},"turns_per_sec_hi":${"%.1f".format(thrHi)},""" +
-        s""""efficiency_raw":${"%.3f".format(rawEff)},""" +
-        s""""hw_ceiling_probe":${"%.3f".format(hwCeiling)},""" +
-        s""""workload_probe_ratio":${"%.3f".format(median(survivors.map(_.ceilAnalyzer)))},""" +
-        s""""efficiency_vs_hw_ceiling":${"%.3f".format(calEff)},""" +
+        // null efficiencies = tier 2: no pair was physically possible;
+        // the windows array below is the record of what was measured
+        s""""efficiency_raw":${fmtOpt(rawEff)},""" +
+        s""""hw_ceiling_probe":${fmtOpt(hwCeiling)},""" +
+        s""""workload_probe_ratio":${fmtOpt(probeRatio)},""" +
+        s""""efficiency_vs_hw_ceiling":${fmtOpt(calEff)},""" +
         s""""surviving_pair_efficiencies_raw":[${survivors.map(p => "%.3f".format(p.raw)).mkString(",")}],""" +
         s""""surviving_pair_efficiencies_vs_ceiling":[${survivors.map(p => "%.3f".format(p.cal)).mkString(",")}],""" +
         s""""pairs_total":${candidates.size},"pairs_discarded":${candidates.size - survivors.size},"burnin_pairs":1,""" +
-        // fallback_tier: 0 = gated-valid survivors; 1/2 = every pair was
-        // disturbed and the headline is a labeled fallback reading
+        // fallback_tier: 0 = gated-valid survivors; 1 = diagnostics failed
+        // everywhere but a physically-possible pair exists (labeled); 2 =
+        // nothing physically possible — efficiencies are null
         s""""fallback_tier":$fallbackTier,""" +
         s""""windows":[${builds.toSeq.flatMap(b => Seq(b._1, b._2)).map(_.json).mkString(",")}]},""" +
         s""""ann_lsh_index_bytes":$annIndexBytes,""" +
         s""""latency":{"p50":${"%.3f".format(pct(0.5))},"p95":${"%.3f".format(pct(0.95))}}}"""
     println(json)
+    // the driver's stdout capture has truncated the tail of this line
+    // before (r3 lost the per-query map) — persist the FULL artifact to a
+    // committed file as the durable record
+    try {
+      val outPath = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_local/full_bench.json"))
+      Option(outPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.writeString(outPath, json + "\n")
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] could not write full artifact: $e")
+    }
     spark.stop()
     // reclaim the (possibly tmpfs) scratch space
     def rmrf(f: java.io.File): Unit = {

@@ -373,10 +373,9 @@ object Gate {
       Some(s"""WITH fdocs AS (
               |  SELECT doc_id, text FROM documents
               |  UNION ALL
-              |  SELECT * FROM (VALUES (500, 'spark table spark merge'),
-              |    (501, 'spark table spark merge'), (502, 'spark table spark merge'),
-              |    (503, 'spark table spark merge'), (504, 'spark table spark merge'))
-              |    AS t(doc_id, text)),
+              |  SELECT (SELECT max(doc_id) FROM documents) + i AS doc_id,
+              |    'spark table spark merge' AS text
+              |  FROM generate_series(1, 5) AS t(i)),
               |${mutCte("fdocs")}
               |SELECT doc_id, round(tscore, 4) AS score FROM scores WHERE term = 'spark'
               |ORDER BY tscore DESC, doc_id LIMIT 20""".stripMargin)),
@@ -393,8 +392,11 @@ object Gate {
           .select(col("docId").as("doc_id"), col("role"))
           .orderBy("doc_id").limit(500)
       },
-      Some("""SELECT doc_id, 'x' || source AS role FROM documents
-             |ORDER BY doc_id LIMIT 500""".stripMargin)),
+      // null-key semantics: updateByRelation's left join + coalesce keeps
+      // the ORIGINAL value when the join key is NULL — the oracle must too
+      Some("""SELECT doc_id,
+             |  CASE WHEN source IS NULL THEN lang ELSE 'x' || source END AS role
+             |FROM documents ORDER BY doc_id LIMIT 500""".stripMargin)),
 
     GateQuery("maint_prune_update",
       // pruneDocument + updateDocumentFields (reference: Lucene.java:

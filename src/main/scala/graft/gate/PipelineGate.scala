@@ -32,6 +32,15 @@ object PipelineGate {
       dir
     })
 
+  /** FNV-1a64 of a string expression in DuckDB (HUGEINT mod-2^64
+    * arithmetic; result is the UNSIGNED 64-bit value in [0, 2^64)) — the
+    * same fold the `fingerprint` oracle replays. */
+  private def fnvSql(expr: String): String =
+    s"""list_reduce(list_prepend(14695981039346656037::HUGEINT,
+       |      list_transform(generate_series(1, length($expr)), fnv_i -> ascii(substr($expr, fnv_i, 1))::HUGEINT)),
+       |    (fnv_acc, fnv_x) -> (xor(fnv_acc::UBIGINT, fnv_x::UBIGINT)::HUGEINT * 1099511628211::HUGEINT)
+       |     % 18446744073709551616::HUGEINT)""".stripMargin
+
   /** Shared shingle CTE for dedup oracles (5-gram over simple tokens). */
   private val shingleCte =
     """WITH arr AS (
@@ -78,10 +87,47 @@ object PipelineGate {
           |WHERE common * 1.0 / (sa.sz + sb.sz - common) >= 0.8
           |ORDER BY ida, idb""".stripMargin)),
 
-    // rows-only: LSH recall verified against the exact baseline in PipelineSpec
+    // Full DuckDB replay of the MinHash+LSH pipeline (round 4): FNV
+    // shingle hashes → 64 FNV-derived affine minhashes mod 2^61-1 → 16
+    // four-row bands FNV-hashed → bucket-join candidates → exact-Jaccard
+    // verify at the threshold. Every step is deterministic integer
+    // arithmetic, so the approximate algorithm's OUTPUT is exactly
+    // reproducible even though its recall vs exact Jaccard is
+    // probabilistic (that property stays pinned in PipelineSpec).
     GateQuery("neardup_minhash_lsh",
       (s, d) => Dedup.minhashLshPairs(docs(s, d), 0.8).orderBy("ida", "idb"),
-      None),
+      Some(shingleCte +
+        s""", shh AS (
+           |  SELECT doc_id, ${fnvSql("g")} % 2305843009213693951::HUGEINT AS xm FROM sh
+           |), coeff AS (
+           |  SELECT i,
+           |    (${fnvSql("('mh-a-42-' || i)")} % 2305843009213693950::HUGEINT) + 1 AS a,
+           |    ${fnvSql("('mh-b-42-' || i)")} % 2305843009213693951::HUGEINT AS b
+           |  FROM (SELECT unnest(generate_series(0, 63)) AS i)
+           |), sig AS (
+           |  SELECT doc_id, i, min(((a * xm) % 2305843009213693951::HUGEINT + b)
+           |                        % 2305843009213693951::HUGEINT) AS m
+           |  FROM shh CROSS JOIN coeff GROUP BY doc_id, i
+           |), bandstr AS (
+           |  SELECT doc_id, CAST(i // 4 AS INT) AS band,
+           |    string_agg(m::VARCHAR, ',' ORDER BY i) AS bs
+           |  FROM sig GROUP BY doc_id, i // 4
+           |), bh AS (
+           |  SELECT doc_id, band, ${fnvSql("bs")} AS h FROM bandstr
+           |), cand AS (
+           |  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+           |  FROM bh a JOIN bh b ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
+           |), counts AS (
+           |  SELECT c.ida, c.idb, count(*) AS common
+           |  FROM cand c
+           |  JOIN sh a ON a.doc_id = c.ida
+           |  JOIN sh b ON b.doc_id = c.idb AND b.g = a.g
+           |  GROUP BY c.ida, c.idb
+           |)
+           |SELECT ida, idb, round(common * 1.0 / (sa.sz + sb.sz - common), 4) AS jaccard
+           |FROM counts JOIN sizes sa ON sa.doc_id = ida JOIN sizes sb ON sb.doc_id = idb
+           |WHERE common * 1.0 / (sa.sz + sb.sz - common) >= 0.8
+           |ORDER BY ida, idb""".stripMargin)),
 
     GateQuery("neardup_simhash",
       // fully deterministic (FNV-1a token hashes, ±1 bit votes, popcount)
@@ -174,8 +220,15 @@ object PipelineGate {
              |ORDER BY list_cosine_similarity(embedding::DOUBLE[], q.e) DESC, vec_id
              |LIMIT 10""".stripMargin)),
 
-    // rows-only: recall vs brute force + bucket pruning checked in
-    // PipelineSpec; the gate probes the MATERIALIZED bucket index
+    // Full DuckDB replay (round 4): the 16 seed-42 hyperplanes are
+    // sf-independent model parameters, inlined as DOUBLE[] VALUES
+    // (shortest-round-trip literals parse back to the identical doubles).
+    // Signatures replay exactly because both sides accumulate the dot
+    // product sequentially (Spark aggregate-fold ≡ DuckDB
+    // list_inner_product — the property ann_cosine already pins); the
+    // oracle then rebands, bucket-matches against the query's bands, and
+    // reranks candidates by exact cosine — the same candidates the
+    // MATERIALIZED (band,bv)-partitioned index probe reads.
     GateQuery("ann_lsh",
       (s, d) => {
         val emb = embeddings(s, d)
@@ -183,10 +236,35 @@ object PipelineGate {
           .select("embedding").head().getSeq[Float](0).toArray
         AnnIndex.lshTopK(s, annDir(s, d), q, 10, emb, excludeId = Some(0L))
       },
-      None),
+      Some {
+        val planes = Similarity.hyperplanes(64, 16, 42L)
+        val planeVals = planes.zipWithIndex.map { case (p, i) =>
+          s"($i, [${p.map(_.toString).mkString(", ")}]::DOUBLE[])"
+        }.mkString(", ")
+        s"""WITH planes AS (SELECT * FROM (VALUES $planeVals) AS p(i, pl)
+           |), sig AS (
+           |  SELECT vec_id, CAST(sum(CASE WHEN list_inner_product(embedding::DOUBLE[], pl) > 0
+           |                               THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS s
+           |  FROM embeddings CROSS JOIN planes GROUP BY vec_id
+           |), qsig AS (SELECT s AS qs FROM sig WHERE vec_id = 0
+           |), cand AS (
+           |  SELECT DISTINCT sig.vec_id
+           |  FROM sig CROSS JOIN qsig
+           |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) bs
+           |  WHERE sig.vec_id <> 0
+           |    AND ((sig.s >> (b * 4)) & 15) = ((qsig.qs >> (b * 4)) & 15)
+           |), q AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 0)
+           |SELECT e.vec_id, round(list_cosine_similarity(e.embedding::DOUBLE[], q.e), 4) AS cos
+           |FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q
+           |ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.e) DESC, e.vec_id
+           |LIMIT 10""".stripMargin
+      }),
 
-    // rows-only: IVF recall vs brute force + cell pruning checked in
-    // PipelineSpec; probes the materialized cell index
+    // rows-only (the one remaining ANN no_oracle): the IVF coarse
+    // quantizer is trained on a PER-SF-DIR sample, so its centroids
+    // cannot be inlined into this static SQL the way the sf-independent
+    // LSH hyperplanes can; recall vs brute force + cell pruning stay
+    // pinned in PipelineSpec. Probes the materialized cell index.
     GateQuery("ann_ivf",
       (s, d) => {
         val emb = embeddings(s, d)
@@ -196,10 +274,58 @@ object PipelineGate {
       },
       None),
 
-    // rows-only: classification accuracy pinned on real sentences in PipelineSpec
+    // Full DuckDB replay (round 4): the trigram model is emitted into the
+    // oracle as VALUES (the model IS part of the operator — ~400 rows),
+    // and the classifier's arithmetic is exact-integer dot/norms with one
+    // sqrt·sqrt product and one division, so the cosine doubles reproduce
+    // bit-identically. Classification quality stays pinned on real
+    // sentences in PipelineSpec.
     GateQuery("lang_id_ngram",
       (s, d) => TextAnalysis.langIdNgram(docs(s, d)).orderBy("doc_id"),
-      None),
+      Some {
+        val prof = TextAnalysis.NgramLang.profiles.toSeq.sortBy(_._1).flatMap {
+          case (l, grams) => grams.toSeq.sorted.map { case (g, c) =>
+            s"('$l', '$g', $c)"
+          }
+        }.mkString(", ")
+        val norms = TextAnalysis.NgramLang.norms.toSeq.sortBy(_._1)
+          .map { case (l, n) => s"('$l', $n)" }.mkString(", ")
+        s"""WITH t AS (
+           |  SELECT doc_id, ' ' || trim(regexp_replace(regexp_replace(lower(text),
+           |    '[^a-z ]', ' ', 'g'), ' +', ' ', 'g')) || ' ' AS s
+           |  FROM documents
+           |), g AS (
+           |  SELECT doc_id, substr(s, i, 3) AS gram
+           |  FROM (SELECT doc_id, s, unnest(generate_series(1, length(s) - 2)) AS i
+           |        FROM t WHERE length(s) >= 3)
+           |), dc AS (
+           |  SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram
+           |), dn AS (
+           |  SELECT doc_id, sum(c * c) AS na FROM dc GROUP BY doc_id
+           |), prof AS (SELECT * FROM (VALUES $prof) AS p(lang, gram, pc)
+           |), pn AS (SELECT * FROM (VALUES $norms) AS q(lang, nb)
+           |), dots AS (
+           |  SELECT dc.doc_id, prof.lang, sum(dc.c * prof.pc) AS d
+           |  FROM dc JOIN prof ON dc.gram = prof.gram GROUP BY dc.doc_id, prof.lang
+           |), scored AS (
+           |  SELECT ds.doc_id, pn.lang,
+           |    CASE WHEN dn.na IS NULL OR dn.na = 0 THEN 0.0
+           |         ELSE coalesce(dots.d, 0)::DOUBLE
+           |              / (sqrt(dn.na::DOUBLE) * sqrt(pn.nb::DOUBLE)) END AS cos
+           |  FROM (SELECT doc_id FROM documents) ds
+           |  CROSS JOIN pn
+           |  LEFT JOIN dn ON dn.doc_id = ds.doc_id
+           |  LEFT JOIN dots ON dots.doc_id = ds.doc_id AND dots.lang = pn.lang
+           |), best AS (
+           |  SELECT doc_id, lang, cos,
+           |    row_number() OVER (PARTITION BY doc_id ORDER BY cos DESC, lang) AS rn
+           |  FROM scored
+           |)
+           |SELECT doc_id,
+           |  CASE WHEN cos < 0.05 THEN 'unknown' ELSE lang END AS lang_pred,
+           |  cos AS lang_score
+           |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin
+      }),
 
     GateQuery("multimodal_decode",
       (s, d) => Multimodal.decode(Multimodal.asMedia(docs(s, d)))

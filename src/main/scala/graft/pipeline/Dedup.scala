@@ -137,20 +137,26 @@ object Dedup {
 
   /** MinHash signature aggregator: per doc, elementwise min over the
     * shingle hashes under `numHashes` independent affine hash functions
-    * h_i(x) = (a_i*x + b_i) mod p  (p = 2^61 - 1), seeded deterministically. */
+    * h_i(x) = (a_i*x + b_i) mod p  (p = 2^61 - 1).
+    *
+    * Coefficients are derived from FNV-1a of `"mh-a-$seed-$i"` /
+    * `"mh-b-$seed-$i"` (unsigned mod into range) rather than a JVM RNG:
+    * every arithmetic step of the whole MinHash+LSH pipeline is then
+    * expressible in portable SQL (the DuckDB gate oracle replays
+    * signature → banding → candidates → exact-Jaccard verify end to end),
+    * with the same independence properties as RNG-drawn affine
+    * coefficients. The shingle hash `x` is interpreted UNSIGNED
+    * (remainderUnsigned) so SQL's nonnegative 64-bit value reduces
+    * identically. */
   final class MinHashAgg(numHashes: Int, seed: Long)
       extends Aggregator[Long, Array[Long], Seq[Long]] {
-    private val P = (1L << 61) - 1
-    @transient private lazy val coeffs: Array[(Long, Long)] = {
-      val r = new java.util.Random(seed)
-      Array.fill(numHashes)(
-        ((r.nextLong() & Long.MaxValue) % (P - 1) + 1,
-          (r.nextLong() & Long.MaxValue) % P))
-    }
+    private val P = MinHashP
+    @transient private lazy val coeffs: Array[(Long, Long)] =
+      minhashCoeffs(numHashes, seed)
     private def h(i: Int, x: Long): Long = {
       val (a, b) = coeffs(i)
       // multiply mod 2^61-1 via Math.multiplyHigh-free 128-bit-ish split
-      val xm = java.lang.Math.floorMod(x, P)
+      val xm = java.lang.Long.remainderUnsigned(x, P)
       val hi = java.lang.Math.multiplyHigh(a, xm)
       val lo = a * xm
       // fold 128-bit product mod 2^61-1: (lo & P) + (lo >>> 61 | hi << 3)
@@ -176,6 +182,18 @@ object Dedup {
     def outputEncoder = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
   }
 
+  /** Mersenne prime 2^61 − 1 — the MinHash hash field. */
+  val MinHashP: Long = (1L << 61) - 1
+
+  /** Deterministic affine coefficients (a_i ∈ [1, P−1], b_i ∈ [0, P−1])
+    * for hash i, FNV-derived (see MinHashAgg doc). */
+  def minhashCoeffs(numHashes: Int, seed: Long): Array[(Long, Long)] =
+    Array.tabulate(numHashes) { i =>
+      val a = java.lang.Long.remainderUnsigned(fnv1a64(s"mh-a-$seed-$i"), MinHashP - 1) + 1
+      val b = java.lang.Long.remainderUnsigned(fnv1a64(s"mh-b-$seed-$i"), MinHashP)
+      (a, b)
+    }
+
   /** MinHash signatures: (id, sig: array<long>). */
   def minhashSignatures(df: DataFrame, numHashes: Int = 64, seed: Long = 42L,
                         n: Int = 5, idCol: String = "doc_id",
@@ -197,9 +215,15 @@ object Dedup {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
     val sig = minhashSignatures(df, numHashes, seed, n, idCol, textCol)
-    val banded = sig.select(col("id"), posexplode(
-      transform(sequence(lit(0), lit(bands - 1)),
-        b => hash(slice(col("sig"), b * lit(rows) + lit(1), lit(rows)), b))).as(Seq("band", "bh")))
+    // band key = FNV-1a of the band's signature values joined as decimal
+    // strings: an 8-byte shuffle key (not the 4-long slice), deterministic
+    // across runs, and — unlike Spark's Murmur3 `hash()` — replayable in
+    // the DuckDB oracle
+    val bandStrs = transform(sequence(lit(0), lit(bands - 1)),
+      b => concat_ws(",",
+        transform(slice(col("sig"), b * lit(rows) + lit(1), lit(rows)), _.cast("string"))))
+    val banded = sig.select(col("id"), posexplode(bandStrs).as(Seq("band", "bstr")))
+      .select(col("id"), col("band"), fnv1a64Udf(col("bstr")).as("bh"))
     val l = banded.toDF("ida", "band", "bh")
     val r = banded.toDF("idb", "band", "bh")
     val candidates = l.join(r, Seq("band", "bh"))

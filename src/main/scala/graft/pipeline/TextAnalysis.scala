@@ -77,38 +77,53 @@ object TextAnalysis {
       "es" -> ("el rapido zorro marron salta sobre el perro perezoso y estaba " +
         "claro que estas cosas no cambiarian con el tiempo porque son asi"))
 
-    private def trigrams(s: String): Map[String, Double] = {
+    /** Integer trigram counts of the normalized text. Counts, not
+      * frequencies: cosine of count vectors equals cosine of frequency
+      * vectors (the 1/n factors cancel), and integer dot products /
+      * norms are order-independent EXACT sums — so the classifier's
+      * doubles (one sqrt·sqrt product and one division over exact
+      * integers) reproduce bit-identically in the DuckDB gate oracle,
+      * where float summation order cannot be pinned. */
+    def trigramCounts(s: String): Map[String, Int] = {
       val t = " " + s.toLowerCase(java.util.Locale.ROOT).replaceAll("[^a-z ]", " ")
         .replaceAll("\\s+", " ").trim + " "
-      val grams = (0 to t.length - 3).map(i => t.substring(i, i + 3))
-      val n = grams.size.toDouble
-      grams.groupBy(identity).map { case (g, xs) => g -> xs.size / n }
+      (0 to t.length - 3).map(i => t.substring(i, i + 3))
+        .groupBy(identity).map { case (g, xs) => g -> xs.size }
     }
 
-    val profiles: Map[String, Map[String, Double]] = seeds.map { case (l, s) => l -> trigrams(s) }
+    val profiles: Map[String, Map[String, Int]] =
+      seeds.map { case (l, s) => l -> trigramCounts(s) }
 
-    /** cosine similarity of trigram frequency profiles */
+    /** Σ count² per language profile (the squared norm, exact). */
+    val norms: Map[String, Long] =
+      profiles.map { case (l, p) => l -> p.valuesIterator.map(c => c.toLong * c).sum }
+
+    private val profilesSorted: Seq[(String, Map[String, Int])] =
+      profiles.toSeq.sortBy(_._1)
+
+    /** cosine similarity of trigram count profiles; ties broken lang-asc
+      * (maxBy keeps the first maximum of the lang-sorted sequence). */
     def classify(text: String): (String, Double) = {
-      val p = trigrams(text)
-      def cos(a: Map[String, Double], b: Map[String, Double]): Double = {
-        val dot = a.iterator.map { case (g, w) => w * b.getOrElse(g, 0.0) }.sum
-        val na = math.sqrt(a.valuesIterator.map(x => x * x).sum)
-        val nb = math.sqrt(b.valuesIterator.map(x => x * x).sum)
-        if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+      val p = trigramCounts(text)
+      val na: Long = p.valuesIterator.map(c => c.toLong * c).sum
+      val scored = profilesSorted.map { case (l, prof) =>
+        val dot: Long = p.iterator.map { case (g, c) => c.toLong * prof.getOrElse(g, 0) }.sum
+        val cos =
+          if (na == 0L) 0.0
+          else dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(norms(l).toDouble))
+        l -> cos
       }
-      val scored = profiles.map { case (l, prof) => l -> cos(p, prof) }
       val (l, sc) = scored.maxBy(_._2)
       if (sc < 0.05) ("unknown", sc) else (l, sc)
     }
   }
 
   /** Char-n-gram language ID: trigram-profile cosine against the embedded
-    * per-language profiles — narrow map, no shuffle. */
+    * per-language profiles — narrow map, no shuffle. The score is the raw
+    * cosine double (deterministic: exact-integer dot/norms, one sqrt·sqrt
+    * product, one division — see NgramLang.trigramCounts). */
   def langIdNgram(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val cls = udf((s: String) => {
-      val (l, sc) = NgramLang.classify(if (s == null) "" else s)
-      (l, math.rint(sc * 10000) / 10000)
-    })
+    val cls = udf((s: String) => NgramLang.classify(if (s == null) "" else s))
     df.select(col(idCol), cls(col(textCol)).as("c"))
       .select(col(idCol), col("c._1").as("lang_pred"), col("c._2").as("lang_score"))
   }

@@ -148,12 +148,20 @@ final class QueryExec(val index: Index, val exact: Boolean = false) {
       // distance as a scan predicate, constant score 1.0 (the same
       // constant-score convention as fielded wildcards). Keyword values
       // are short, so the per-row DP is cheap; the length prefilter below
-      // is sargable and prunes most rows before the UDF runs.
+      // is sargable and prunes most rows before the UDF runs. An ARRAY
+      // column (a PathFields `_exact` hierarchy view) matches when any
+      // element is within the edit bound — same shape as the wildcard/
+      // regexp/exact-match siblings.
       val okUdf = udf((v: String) => v != null &&
         graft.model.EditDistance.bounded(v, f.value, f.maxEdits, f.transpositions) >= 0)
-      val lenOk = length(col(f.field))
+      def lenOk(c: Column): Column = length(c)
         .between(lit(f.value.length - f.maxEdits), lit(f.value.length + f.maxEdits))
-      applyFilters(index.corpus.filter(lenOk && okUdf(col(f.field))), filters)
+      val cond = index.corpus.schema(f.field).dataType match {
+        case _: org.apache.spark.sql.types.ArrayType =>
+          exists(col(f.field), v => lenOk(v) && okUdf(v))
+        case _ => lenOk(col(f.field)) && okUdf(col(f.field))
+      }
+      applyFilters(index.corpus.filter(cond), filters)
         .select(col("docId"), one.as("score"))
     case w: WildcardQuery =>
       // Lucene multi-term rewrite: expand against the term dictionary,
