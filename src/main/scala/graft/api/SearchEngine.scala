@@ -174,19 +174,35 @@ final class SearchEngine(val index: Index) {
     * aggregated label table. D dimensions cost one scan, not D. */
   def facetStrings(req: SearchRequest, dimensions: Seq[String],
                    maxLabels: Int = 10): Map[String, Seq[(String, Long)]] = {
-    if (dimensions.isEmpty) return Map.empty
-    val rows = facetFrame(req, dimensions, maxLabels).collect()
+    // sparse-faceting default (reference: Lucene.java:1236, 1383-1395 —
+    // a request with NO dimensions facets every facetable field)
+    val dims = if (dimensions.isEmpty) facetableFields else dimensions
+    if (dims.isEmpty) return Map.empty
+    val rows = facetFrame(req, dims, maxLabels).collect()
     val byDim = rows.groupBy(_.getString(0))
-    dimensions.map { dim =>
+    dims.map { dim =>
       dim -> byDim.getOrElse(dim, Array.empty)
         .map(r => (r.getString(1), r.getLong(2))).toSeq
     }.toMap
+  }
+
+  /** The facetable dimensions of this corpus: every keyword-typed stored
+    * column — string columns minus the free-text body and the
+    * conversation identifier (the reference's facetable-field set is the
+    * FacetsConfig-registered string fields, Lucene.java:1383-1395). */
+  def facetableFields: Seq[String] = {
+    val excluded = Set("text", "conv_id")
+    index.corpus.schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.StringType
+        && !excluded(f.name) => f.name
+    }.toSeq
   }
 
   /** The single-pass facet frame: (dim, label, doc_count), ≤ maxLabels
     * rows per dim. Exposed for plan assertions. */
   private[graft] def facetFrame(req: SearchRequest, dimensions: Seq[String],
                                 maxLabels: Int): DataFrame = {
+    require(dimensions.nonEmpty, "facetFrame needs at least one dimension")
     val (q, filters) = plan(req)
     val m = exec.matches(q, filters).select("docId")
     val joined = index.corpus.join(m, "docId")

@@ -52,6 +52,25 @@ object Gate {
   private val segCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   private val GateSegSize = 256
 
+  /** Cache-ownership hook (round 4): drop every persisted frame this
+    * object minted for `sfDir` — index tables, packed segments — so a
+    * long-lived process importing Gate does not accumulate pinned
+    * generations (the same leak class Maintenance fixed in round 3). The
+    * next gate() call rebuilds from the parquet source. */
+  def evict(sfDir: String): Unit = {
+    segCache.remove(sfDir).foreach(_.unpersist())
+    indexCache.remove(sfDir).foreach { case (idx, _) =>
+      idx.unpersistAll(includeCorpus = true)
+    }
+    PipelineGate.evict(sfDir)
+  }
+
+  /** Drop every cached generation (all sf dirs). */
+  def evictAll(): Unit = {
+    (indexCache.keySet ++ segCache.keySet).foreach(evict)
+    PipelineGate.evictAll()
+  }
+
   /** Packed segments over the gate index (small segSize so several
     * segments exist even on the 500-doc tables). */
   def gateSegments(spark: SparkSession, sfDir: String): DataFrame =
@@ -596,6 +615,61 @@ object Gate {
         .select("event_id", "user_id", "event_type"),
       Some("""SELECT event_id, user_id, event_type FROM events
              |ORDER BY ts DESC, event_id LIMIT 20""".stripMargin)),
+
+    GateQuery("sparse_facet",
+      // sparse-faceting default (reference: Lucene.java:1236, 1383-1395):
+      // a request with NO dimensions facets EVERY facetable keyword field
+      // — here role + tool — in one exploded single-pass aggregation,
+      // per-dim top-maxLabels by (count desc, label asc)
+      (s, d) => {
+        val (idx, _) = gate(s, d)
+        val eng = new graft.api.SearchEngine(idx)
+        eng.facetFrame(SearchRequest(text = Some("spark")),
+          eng.facetableFields, 10)
+      },
+      sql("""SELECT dim, label, doc_count FROM (
+            |  SELECT dim, label, doc_count,
+            |    row_number() OVER (PARTITION BY dim ORDER BY doc_count DESC, label) AS rn
+            |  FROM (
+            |    SELECT 'role' AS dim, lang AS label, count(*) AS doc_count FROM documents
+            |    WHERE doc_id IN (SELECT doc_id FROM post WHERE term = 'spark')
+            |      AND lang IS NOT NULL GROUP BY lang
+            |    UNION ALL
+            |    SELECT 'tool' AS dim, source AS label, count(*) AS doc_count FROM documents
+            |    WHERE doc_id IN (SELECT doc_id FROM post WHERE term = 'spark')
+            |      AND source IS NOT NULL GROUP BY source))
+            |WHERE rn <= 10 ORDER BY dim, doc_count DESC, label""".stripMargin)),
+
+    GateQuery("si_range_query",
+      // query-TIME SI conversion of range bounds (reference:
+      // SearchBucket.java:568-589 converts a unit-qualified parameter
+      // range to SI before building the point range): the range arrives
+      // as [20, 80) CELSIUS and the engine converts the bounds to kelvin
+      // at plan time, matching rows whose build-side valueSI shadow
+      // column falls in [293.15, 353.15)
+      (s, d) => {
+        val unit = when(col("event_type") === "purchase", "eV")
+          .when(col("event_type") === "error", "celsius")
+          .otherwise("K")
+        val ev = graft.build.Units.withSiColumns(
+          events(s, d).withColumn("unit", unit), "unit", Seq("value"))
+        ev.filter(graft.score.Predicates.toColumn(
+            SiNumRange("value", 20.0, 80.0, "celsius", loInc = true, hiInc = false)))
+          .select("event_id", "valueSI")
+          .orderBy("event_id").limit(500)
+      },
+      Some("""SELECT event_id,
+             |  CASE WHEN event_type = 'purchase' THEN value * 1.602176634e-19
+             |       WHEN event_type = 'error' THEN value + 273.15
+             |       ELSE value END AS "valueSI"
+             |FROM events
+             |WHERE (CASE WHEN event_type = 'purchase' THEN value * 1.602176634e-19
+             |            WHEN event_type = 'error' THEN value + 273.15
+             |            ELSE value END) >= 20.0 * 1.0 + 273.15
+             |  AND (CASE WHEN event_type = 'purchase' THEN value * 1.602176634e-19
+             |            WHEN event_type = 'error' THEN value + 273.15
+             |            ELSE value END) < 80.0 * 1.0 + 273.15
+             |ORDER BY event_id LIMIT 500""".stripMargin)),
 
     GateQuery("match_all_facet",
       (s, d) => {

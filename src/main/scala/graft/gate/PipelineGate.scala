@@ -24,6 +24,19 @@ object PipelineGate {
     * has built one this session (Bench reports its on-disk footprint). */
   def builtAnnDir(sfDir: String): Option[String] = annCache.get(sfDir)
 
+  /** Cache-ownership hook: forget (and delete) the materialized ANN
+    * index temp dir for `sfDir`. */
+  def evict(sfDir: String): Unit =
+    annCache.remove(sfDir).foreach { dir =>
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+
+  def evictAll(): Unit = annCache.keySet.foreach(evict)
+
   private def annDir(s: SparkSession, d: String): String =
     annCache.getOrElseUpdate(d, {
       val dir = java.nio.file.Files.createTempDirectory("graft-ann").toString

@@ -208,6 +208,17 @@ final case class NumRange(field: String, lo: Double, hi: Double,
 final case class ExactOrEnclosing(exactField: String, bottomField: String,
                                   topField: String, value: Double) extends AttrPredicate
 
+/** Numeric range whose BOUNDS arrive in a (possibly non-SI) unit: the
+  * engine converts the bounds to SI at plan time (reference:
+  * SearchBucket.java:568-589 converts a unit-qualified parameter range
+  * before building the point-range query) and compares against the
+  * `<field>SI` shadow column the build wrote (graft.build.Units).
+  * The unit must be one of the enabled conversions — an unknown unit is
+  * a planning error, matching the reference rejecting a search with
+  * units it cannot convert. */
+final case class SiNumRange(field: String, lo: Double, hi: Double, unit: String,
+                            loInc: Boolean = true, hiInc: Boolean = true) extends AttrPredicate
+
 object QueryText {
 
   /** Attribute columns addressable as `field:value` in query strings. */

@@ -72,13 +72,18 @@ object Dedup {
     * are fully hot (invisible to blocking) is logged so the truncation is
     * visible — route such docs through minhashLshPairs if they matter.
     *
-    * The result is materialized eagerly (persisted + counted) so the
-    * shingle intermediates can be unpersisted before returning; the
-    * returned frame is persisted and owned by the caller. */
+    * With `eager = true` (default) the result is materialized (persisted
+    * + counted) so the shingle intermediates can be unpersisted before
+    * returning — two extra jobs, and the returned persisted frame is
+    * owned by the caller. `eager = false` returns a LAZY composable frame
+    * (no persist, no count, no truncation-diagnostic job); the shingle
+    * stage may then recompute across the plan's self-join legs. */
   def ngramJaccardPairs(df: DataFrame, n: Int, threshold: Double,
                         idCol: String = "doc_id", textCol: String = "text",
-                        hotShingleDfCap: Long = Long.MaxValue): DataFrame = {
-    val sh = shingles(df, n, idCol, textCol).persist()
+                        hotShingleDfCap: Long = Long.MaxValue,
+                        eager: Boolean = true): DataFrame = {
+    val sh0 = shingles(df, n, idCol, textCol)
+    val sh = if (eager) sh0.persist() else sh0
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val capped = hotShingleDfCap != Long.MaxValue
     // hot shingles are FEW (≤ total shingle rows / cap distinct) — AQE
@@ -110,14 +115,15 @@ object Dedup {
               size(array_intersect(col("ha"), col("hb"))).cast("long")).otherwise(lit(0L)))
           .select("ida", "idb", "common")
       }
-    val out = common
+    val lazyOut = common
       .join(sizes.toDF("ida", "sza"), "ida")
       .join(sizes.toDF("idb", "szb"), "idb")
       .withColumn("jaccard",
         col("common") * lit(1.0) / (col("sza") + col("szb") - col("common")))
       .where(col("jaccard") >= threshold)
       .select(col("ida"), col("idb"), round(col("jaccard"), 4).as("jaccard"))
-      .persist()
+    if (!eager) return lazyOut
+    val out = lazyOut.persist()
     out.count() // materialize before dropping the shingle cache
     if (capped) {
       // truncation visibility: a doc whose EVERY shingle is hot generates

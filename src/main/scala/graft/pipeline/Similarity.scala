@@ -174,7 +174,12 @@ object Similarity {
   }
 
   /** All-pairs embedding near-duplicates above a cosine threshold, LSH
-    * blocked (pairs sharing any signature band), exact rerank. */
+    * blocked (pairs sharing any signature band), exact rerank.
+    *
+    * Ids-first shape (round 4): the candidate distinct shuffles 16-byte
+    * id pairs, and the vectors join back in only for the rerank — the
+    * same shape AnnIndex probes use. Previously each candidate row
+    * carried BOTH embedding vectors through the distinct. */
   def nearDupPairs(emb: DataFrame, threshold: Double, numPlanes: Int = 16,
                    bands: Int = 4, seed: Long = 42L,
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -185,16 +190,19 @@ object Similarity {
     val sigs = emb.withColumn("sig", signatureCol(col(vecCol), planes))
     val bandArr = array((0 until bands).map(b =>
       shiftright(col("sig"), b * rows).bitwiseAND(lit((1L << rows) - 1))): _*)
-    val banded = sigs.select(col(idCol).as("id"), col(vecCol).as("v"),
+    val banded = sigs.select(col(idCol).as("id"),
       posexplode(bandArr).as(Seq("band", "bv")))
-    val l = banded.toDF("ida", "va", "band", "bv")
-    val r = banded.toDF("idb", "vb", "band", "bv")
+    val l = banded.toDF("ida", "band", "bv")
+    val r = banded.toDF("idb", "band", "bv")
+    val cands = l.join(r, Seq("band", "bv"))
+      .where(col("ida") < col("idb"))
+      .select("ida", "idb").distinct()
     val dot = aggregate(zip_with(col("va"), col("vb"), (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
     def norm(c: Column) = sqrt(aggregate(c, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
-    l.join(r, Seq("band", "bv"))
-      .where(col("ida") < col("idb"))
-      .select("ida", "idb", "va", "vb").distinct()
+    cands
+      .join(emb.select(col(idCol).as("ida"), col(vecCol).as("va")), "ida")
+      .join(emb.select(col(idCol).as("idb"), col(vecCol).as("vb")), "idb")
       .withColumn("cos", dot / (norm(col("va")) * norm(col("vb"))))
       .where(col("cos") >= threshold)
       .select(col("ida"), col("idb"), round(col("cos"), 4).as("cos"))

@@ -20,6 +20,7 @@ object Predicates {
     case TsRange(_, _)                  => Seq("ts")
     case NumRange(f, _, _, _, _)        => Seq(f)
     case ExactOrEnclosing(e, b, t, _)   => Seq(e, b, t)
+    case SiNumRange(f, _, _, _, _, _)   => Seq(s"${f}SI")
   }
 
   def toColumn(p: AttrPredicate): Column = p match {
@@ -34,6 +35,18 @@ object Predicates {
     case ExactOrEnclosing(exactF, bottomF, topF, v) =>
       (col(exactF) === lit(v)) ||
         (col(bottomF) <= lit(v) && col(topF) >= lit(v))
+    case SiNumRange(f, lo, hi, unit, loInc, hiInc) =>
+      // bounds → SI once at plan time (driver-side double math identical
+      // to the build-side conversion), compared against the *SI shadow
+      // column — still a plain pushed-down range on the scan
+      val loSi = graft.build.Units.convertValueToSiUnits(lo, unit)
+      val hiSi = graft.build.Units.convertValueToSiUnits(hi, unit)
+      require(loSi.isDefined && hiSi.isDefined,
+        s"SiNumRange: unit '$unit' has no enabled SI conversion")
+      val c = col(s"${f}SI")
+      val l = if (loInc) c >= lit(loSi.get.value) else c > lit(loSi.get.value)
+      val h = if (hiInc) c <= lit(hiSi.get.value) else c < lit(hiSi.get.value)
+      l && h
   }
 
   def condition(ps: Seq[AttrPredicate]): Option[Column] =

@@ -28,12 +28,20 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object StreamingIndex {
 
+  /** The default streaming surrogate docId: xxhash64 over the full
+    * natural key pair. */
+  def defaultSurrogate: org.apache.spark.sql.Column =
+    xxhash64(col("conv_id"), col("turn_idx"))
+
   /** Postings transform for one micro-batch of turns. `withPositions`
     * carries per-term Lucene position lists so a streamed (and compacted)
     * index can serve phrase queries, matching the batch builder's
-    * positional layout. */
+    * positional layout. `surrogate` is the docId-minting expression —
+    * injectable so tests can force collisions; production uses the
+    * xxhash64 default. */
   def postingsFor(turns: DataFrame, analyzer: TextAnalyzer,
-                  withPositions: Boolean = false): DataFrame = {
+                  withPositions: Boolean = false,
+                  surrogate: org.apache.spark.sql.Column = defaultSurrogate): DataFrame = {
     val normUdf = udf((p: Int) => SmallFloat.intToByte4(p))
     if (withPositions) {
       val analyzeUdf = udf((s: String) => {
@@ -48,7 +56,7 @@ object StreamingIndex {
           .view.mapValues(_.toSeq).toMap, a.positions)
       })
       turns
-        .withColumn("docId", xxhash64(col("conv_id"), col("turn_idx")))
+        .withColumn("docId", surrogate)
         .withColumn("a", analyzeUdf(col("text")))
         .select(col("docId"), col("conv_id"), col("turn_idx"),
           normUdf(col("a._2")).as("norm"),
@@ -63,7 +71,7 @@ object StreamingIndex {
         (scala.jdk.CollectionConverters.MapHasAsScala(counts).asScala.toMap, a.positions)
       })
       turns
-        .withColumn("docId", xxhash64(col("conv_id"), col("turn_idx")))
+        .withColumn("docId", surrogate)
         .withColumn("a", analyzeUdf(col("text")))
         .select(col("docId"), col("conv_id"), col("turn_idx"),
           normUdf(col("a._2")).as("norm"),
@@ -122,6 +130,14 @@ object StreamingIndex {
     graft.build.Index(corpus, postings, termStats, stats, analyzer.name)
   }
 
+  private val turnSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("conv_id", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("turn_idx", org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("role", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("tool", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType)))
+
   /** Start a streaming append: watch `inDir` for new turn parquet files,
     * append postings to `outDir` every `triggerSecs` (the commitSeconds
     * knob, run.properties:5-6 in the reference). */
@@ -129,20 +145,76 @@ object StreamingIndex {
             checkpointDir: String, triggerSecs: Int = 5,
             analyzer: TextAnalyzer = Analyzers.Icat,
             withPositions: Boolean = false): StreamingQuery = {
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("conv_id", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("turn_idx", org.apache.spark.sql.types.IntegerType),
-      org.apache.spark.sql.types.StructField("role", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("tool", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType)))
-    val stream = spark.readStream.schema(schema).parquet(inDir)
+    val stream = spark.readStream.schema(turnSchema).parquet(inDir)
     postingsFor(stream, analyzer, withPositions)
       .writeStream
       .format("parquet")
       .option("path", outDir)
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
+      .trigger(Trigger.ProcessingTime(s"$triggerSecs seconds"))
+      .start()
+  }
+
+  /** Streaming append with INGEST-TIME surrogate-collision detection
+    * (round 4 — previously a collision was caught only when someone ran
+    * [[compact]], so merged postings could serve wrong scores in the
+    * meantime). foreachBatch checks each micro-batch's distinct
+    * (docId, conv_id, turn_idx) triples
+    *   (a) within the batch (two distinct keys minting one docId), and
+    *   (b) against a keys sidecar table accumulated from every prior
+    *       batch (the batch's few keys broadcast into a join against it),
+    * and FAILS THE BATCH — stopping the stream with the error — before
+    * any colliding posting is appended. The sidecar is one small row per
+    * ingested turn (docId + natural key), written transactionally with
+    * the postings inside the same foreachBatch; at 10^12 turns it is the
+    * id↔key directory a re-keying compaction needs anyway. Re-ingesting
+    * the SAME natural key is not a collision (it is an update/replay and
+    * resolves at compaction, like the reference's modify-update path).
+    *
+    * `surrogate` is injectable so tests can force collisions; production
+    * uses the xxhash64 default. */
+  def startChecked(spark: SparkSession, inDir: String, outDir: String,
+                   keysDir: String, checkpointDir: String, triggerSecs: Int = 5,
+                   analyzer: TextAnalyzer = Analyzers.Icat,
+                   withPositions: Boolean = false,
+                   surrogate: org.apache.spark.sql.Column = defaultSurrogate): StreamingQuery = {
+    val stream = spark.readStream.schema(turnSchema).parquet(inDir)
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val posts = postingsFor(batch, analyzer, withPositions, surrogate)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val keys = posts.select("docId", "conv_id", "turn_idx").distinct()
+            .persist()
+          // (a) within-batch: one surrogate, two distinct natural keys
+          val dupIn = keys.groupBy("docId").agg(count(lit(1)).as("nkeys"))
+            .filter(col("nkeys") > 1).limit(20).collect()
+          if (dupIn.nonEmpty)
+            throw new IllegalStateException(
+              s"surrogate docId collision WITHIN micro-batch on ids " +
+                s"${dupIn.map(_.getLong(0)).mkString(",")} — batch rejected")
+          // (b) cross-batch: same surrogate, different natural key in the
+          // accumulated keys table
+          if (java.nio.file.Files.exists(java.nio.file.Paths.get(keysDir))) {
+            val prior = spark.read.parquet(keysDir)
+              .toDF("docId", "p_conv", "p_turn")
+            val clash = prior.join(broadcast(keys), Seq("docId"))
+              .filter(col("p_conv") =!= col("conv_id") ||
+                col("p_turn") =!= col("turn_idx"))
+              .select("docId").limit(20).collect()
+            if (clash.nonEmpty)
+              throw new IllegalStateException(
+                s"surrogate docId collision ACROSS micro-batches on ids " +
+                  s"${clash.map(_.getLong(0)).mkString(",")} — batch rejected")
+          }
+          posts.write.mode("append").parquet(outDir)
+          keys.write.mode("append").parquet(keysDir)
+          keys.unpersist()
+          ()
+        } finally { posts.unpersist(); () }
+      }
+      .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(s"$triggerSecs seconds"))
       .start()
   }

@@ -91,6 +91,15 @@ class ApiSpec extends SparkSuite {
     assert(occurrences(plan, "HashAggregate") === 2, plan.take(800))
   }
 
+  test("sparse-facet default: empty dimensions facet every facetable field") {
+    val req = SearchRequest(text = Some("ambiguous"))
+    // corpus string columns minus text/conv_id — role + tool here
+    assert(engine.facetableFields.sorted === Seq("role", "tool"))
+    val sparse = engine.facetStrings(req, Nil)
+    assert(sparse.keySet === Set("role", "tool"))
+    assert(sparse === engine.facetStrings(req, Seq("role", "tool")))
+  }
+
   test("facet JSON mirrors the reference aggregation shape") {
     val json = engine.facetJson(SearchRequest(text = Some("ambiguous")), Seq("role"))
     assert(json.startsWith("""{"aggregations":{"role":{"buckets":{"""))

@@ -39,8 +39,34 @@ class GateSpec extends SparkSuite {
       val unknown = froms -- tables --
         Set("toks", "ptoks", "dl", "dlq", "stats", "post", "tstat", "scores", "arr", "sh",
           "sizes", "counts", "documents", "events", "embeddings", "w",
-          "th", "bits", "fp", "fdocs")
+          "th", "bits", "fp", "fdocs", "generate_series",
+          // minhash-LSH oracle CTEs
+          "shh", "coeff", "sig", "bandstr", "bh", "cand",
+          // lang-ID oracle CTEs
+          "t", "g", "dc", "dn", "prof", "pn", "dots", "scored", "best",
+          // ann_lsh oracle CTEs
+          "planes", "qsig", "q")
       assert(unknown.isEmpty, s"oracle references unknown tables: $unknown")
     }
+  }
+
+  test("evict drops every persisted frame the gate minted (two generations)") {
+    val sc = spark.sparkContext
+    // the per-query tests above already cached the sf0.001 generation
+    // (plus caller-owned frames like the jaccard result); snapshot, then
+    // mint a SECOND generation and evict everything the gate owns
+    Gate.gate(spark, sfDir)
+    Gate.gateSegments(spark, sfDir)
+    val before = sc.getPersistentRDDs.keySet
+    Gate.gate(spark, "/root/testdata/sf0.01")
+    Gate.gateSegments(spark, "/root/testdata/sf0.01")
+    assert(sc.getPersistentRDDs.keySet.size > before.size,
+      "second gate generation should persist new frames")
+    Gate.evictAll()
+    val after = sc.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty,
+      "frames minted by the second generation outlived evictAll")
+    assert(after.size < before.size,
+      "the first generation's gate caches should be gone too")
   }
 }

@@ -95,6 +95,70 @@ class StreamingSpec extends SparkSuite {
     assert(hits(compacted).map(_._1).sorted === Seq(0L, 2L))
   }
 
+  test("checked ingest detects surrogate collisions AT INGEST TIME") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-streamc").toString
+    val inDir = s"$base/in"
+    new java.io.File(inDir).mkdirs()
+    // forced-collision surrogate: docId = turn_idx % 2 — distinct convs
+    // collide both within a batch and across batches
+    val collide = pmod(col("turn_idx").cast("long"), lit(2L))
+
+    // batch 1: two turns with DISTINCT surrogates (turn_idx 0, 1) — passes
+    Seq(graft.model.Turn("conv-a", 0, "user", "hello", None, new java.sql.Timestamp(0L)),
+        graft.model.Turn("conv-a", 1, "user", "world", None, new java.sql.Timestamp(0L)))
+      .toDS().toDF().coalesce(1).write.mode("overwrite").parquet(inDir)
+    val q1 = StreamingIndex.startChecked(spark, inDir, s"$base/out", s"$base/keys",
+      s"$base/ck", triggerSecs = 1, surrogate = collide)
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.parquet(s"$base/out").count() > 0)
+    assert(spark.read.parquet(s"$base/keys").count() === 2)
+
+    // batch 2: a DIFFERENT conversation's turn 2 collides with conv-a/0
+    // (same surrogate 0) — the batch must fail BEFORE appending
+    val before = spark.read.parquet(s"$base/out").count()
+    Seq(graft.model.Turn("conv-b", 2, "user", "boom", None, new java.sql.Timestamp(0L)))
+      .toDS().toDF().coalesce(1).write.mode("append").parquet(inDir)
+    val q2 = StreamingIndex.startChecked(spark, inDir, s"$base/out", s"$base/keys",
+      s"$base/ck", triggerSecs = 1, surrogate = collide)
+    val e = intercept[Exception] { try q2.processAllAvailable() finally q2.stop() }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("collision")), messages(e).mkString(" | "))
+    assert(spark.read.parquet(s"$base/out").count() === before) // nothing appended
+
+    // within-batch collision: two colliding turns in ONE batch
+    val base2 = java.nio.file.Files.createTempDirectory("graft-streamc2").toString
+    new java.io.File(s"$base2/in").mkdirs()
+    Seq(graft.model.Turn("conv-a", 0, "user", "x", None, new java.sql.Timestamp(0L)),
+        graft.model.Turn("conv-b", 2, "user", "y", None, new java.sql.Timestamp(0L)))
+      .toDS().toDF().coalesce(1).write.mode("overwrite").parquet(s"$base2/in")
+    val q3 = StreamingIndex.startChecked(spark, s"$base2/in", s"$base2/out",
+      s"$base2/keys", s"$base2/ck", triggerSecs = 1, surrogate = collide)
+    val e3 = intercept[Exception] { try q3.processAllAvailable() finally q3.stop() }
+    assert(messages(e3).exists(_.contains("WITHIN micro-batch")), messages(e3).mkString(" | "))
+  }
+
+  test("checked ingest with the real surrogate equals the unchecked stream") {
+    val base = java.nio.file.Files.createTempDirectory("graft-streamok").toString
+    val inDir = s"$base/in"
+    new java.io.File(inDir).mkdirs()
+    TranscriptGen.generate(spark, 6).toDF()
+      .coalesce(1).write.mode("overwrite").parquet(inDir)
+    val q = StreamingIndex.startChecked(spark, inDir, s"$base/out", s"$base/keys",
+      s"$base/ck", triggerSecs = 1)
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.read.parquet(s"$base/out")
+    val batch = StreamingIndex.postingsFor(spark.read.parquet(inDir), Analyzers.Icat)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("docId", "term", "tf", "norm")
+        .collect().map(_.toSeq).sortBy(_.toString()).toSeq
+    assert(key(streamed) === key(batch))
+    // keys sidecar: one row per ingested turn
+    assert(spark.read.parquet(s"$base/keys").count() ===
+      spark.read.parquet(inDir).count())
+  }
+
   test("compaction fails loudly on a surrogate docId collision") {
     import spark.implicits._
     // two DISTINCT natural keys forged onto one surrogate id
