@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // 48g default (round 4): at 24g a 32-thread build's allocation rate
+  // outruns G1 and GC inflates the build's CPU ~2× (measured via
+  // ProfilePhases: termStats scan 18x slower, reduce stage +80% core-s)
+  // — exactly the non-scaling overhead that depressed the 8→32
+  // efficiency headline. The box has 128 GiB; heap is lazily committed.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )
