@@ -54,6 +54,15 @@ object PipelineGate {
        |    (fnv_acc, fnv_x) -> (xor(fnv_acc::UBIGINT, fnv_x::UBIGINT)::HUGEINT * 1099511628211::HUGEINT)
        |     % 18446744073709551616::HUGEINT)""".stripMargin
 
+  /** The sign-LSH hyperplanes as a DuckDB VALUES list — seed-42,
+    * sf-independent model parameters shared by the ann_lsh and
+    * neardup_embedding oracles (shortest-round-trip double literals
+    * parse back to the identical doubles). */
+  private lazy val planeVals: String =
+    Similarity.hyperplanes(64, 16, 42L).zipWithIndex.map { case (p, i) =>
+      s"($i, [${p.map(_.toString).mkString(", ")}]::DOUBLE[])"
+    }.mkString(", ")
+
   /** Shared shingle CTE for dedup oracles (5-gram over simple tokens). */
   private val shingleCte =
     """WITH arr AS (
@@ -250,10 +259,6 @@ object PipelineGate {
         AnnIndex.lshTopK(s, annDir(s, d), q, 10, emb, excludeId = Some(0L))
       },
       Some {
-        val planes = Similarity.hyperplanes(64, 16, 42L)
-        val planeVals = planes.zipWithIndex.map { case (p, i) =>
-          s"($i, [${p.map(_.toString).mkString(", ")}]::DOUBLE[])"
-        }.mkString(", ")
         s"""WITH planes AS (SELECT * FROM (VALUES $planeVals) AS p(i, pl)
            |), sig AS (
            |  SELECT vec_id, CAST(sum(CASE WHEN list_inner_product(embedding::DOUBLE[], pl) > 0
@@ -339,6 +344,34 @@ object PipelineGate {
            |  cos AS lang_score
            |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin
       }),
+
+    // Embedding-cosine near-dup pairs (round 4 — was test-only): LSH
+    // banding blocks candidates (ids-first distinct), exact cosine
+    // reranks; the DuckDB oracle replays signatures off the same inlined
+    // hyperplanes, rebands, and thresholds the exact cosine. The random
+    // test embeddings have no true near-dups, so the gate threshold sits
+    // where the blocking+rerank pipeline produces a non-trivial result
+    // set (the operator is threshold-agnostic).
+    GateQuery("neardup_embedding",
+      (s, d) => Similarity.nearDupPairs(embeddings(s, d), 0.35)
+        .orderBy("ida", "idb"),
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+              |), planes AS (SELECT * FROM (VALUES $planeVals) AS p(i, pl)
+              |), sig AS (
+              |  SELECT vec_id, CAST(sum(CASE WHEN list_inner_product(v, pl) > 0
+              |                              THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS s
+              |  FROM e CROSS JOIN planes GROUP BY vec_id
+              |), bands AS (
+              |  SELECT vec_id, b, (s >> (b * 4)) & 15 AS bv
+              |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) bb
+              |), cand AS (
+              |  SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
+              |  FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.vec_id < b.vec_id
+              |)
+              |SELECT ida, idb, round(cos, 4) AS cos FROM (
+              |  SELECT ida, idb, list_cosine_similarity(ea.v, eb.v) AS cos
+              |  FROM cand JOIN e ea ON ea.vec_id = ida JOIN e eb ON eb.vec_id = idb)
+              |WHERE cos >= 0.35 ORDER BY ida, idb""".stripMargin)),
 
     GateQuery("multimodal_decode",
       (s, d) => Multimodal.decode(Multimodal.asMedia(docs(s, d)))

@@ -82,7 +82,14 @@ object Dedup {
                         idCol: String = "doc_id", textCol: String = "text",
                         hotShingleDfCap: Long = Long.MaxValue,
                         eager: Boolean = true): DataFrame = {
+    // the blocking key is xxhash64(shingle), not the ~n-word string: the
+    // self-join shuffles 8-byte keys instead of shingle text (round 4 —
+    // ~4× fewer shuffle bytes). Set sizes / common counts are unchanged
+    // unless two distinct shingles of one corpus collide in 64 bits
+    // (birthday-safe until ~10^9 distinct shingles per job; the DuckDB
+    // gate oracle replays over the strings and stays hash-identical)
     val sh0 = shingles(df, n, idCol, textCol)
+      .select(col("id"), xxhash64(col("shingle")).as("shingle"))
     val sh = if (eager) sh0.persist() else sh0
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val capped = hotShingleDfCap != Long.MaxValue

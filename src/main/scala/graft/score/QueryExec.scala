@@ -270,10 +270,27 @@ final class QueryExec(val index: Index, val exact: Boolean = false) {
       .forall(_.exists { case (t, _, _) => dfMap.contains(t) })
     if (!slotsAlive || dfMap.isEmpty) return matches(MatchNone, filters)
 
+    val freq =
+      if (p.slots.forall(_._2.size == 1)) phraseFreqFast(p, filters)
+      else phraseFreqGeneral(slotTerms, nSlots, filters)
+    freq.select(col("docId"),
+      (if (exact) Bm25.scoreColExact(col("tf"), col("norm"), lit(sumIdfD), cacheD)
+       else Bm25.scoreCol(col("tf"), col("norm"), lit(sumIdfD.toFloat), cache))
+        .as("score"))
+  }
+
+  /** General multi-alternative-slot path (synonym stacks): explode
+    * position lists to occurrence rows, count distinct matched slots per
+    * (docId, base), then phrase freq per doc — two narrow-key
+    * partial-aggregated shuffles. Occurrence-granular, so a phrase of
+    * HOT terms explodes tf× the posting rows. */
+  private def phraseFreqGeneral(slotTerms: Seq[(String, Int, Int)], nSlots: Int,
+                                filters: Seq[AttrPredicate]): DataFrame = {
+    val distinctTerms = slotTerms.map(_._1).distinct
     val qframe = spark.createDataFrame(slotTerms).toDF("term", "slot", "relPos")
     val scan = applyFilters(
       index.postings.filter(col("term").isin(distinctTerms: _*)), filters)
-    val occurrences = scan
+    scan
       .join(broadcast(qframe), "term")
       .select(col("docId"), col("norm"), col("slot"), col("relPos"),
         explode(col("positions")).as("pos"))
@@ -282,13 +299,39 @@ final class QueryExec(val index: Index, val exact: Boolean = false) {
       .groupBy(col("docId"), col("base"))
       .agg(countDistinct(col("slot")).as("nslot"), first(col("norm")).as("norm"))
       .filter(col("nslot") === nSlots)
-    val freq = occurrences
       .groupBy(col("docId"))
       .agg(count(lit(1)).cast("int").as("tf"), first(col("norm")).as("norm"))
-    freq.select(col("docId"),
-      (if (exact) Bm25.scoreColExact(col("tf"), col("norm"), lit(sumIdfD), cacheD)
-       else Bm25.scoreCol(col("tf"), col("norm"), lit(sumIdfD.toFloat), cache))
-        .as("score"))
+  }
+
+  /** Single-term-per-slot fast path (the common case — every plain
+    * quoted phrase): NO position explode and NO occurrence-level
+    * aggregation. Each slot is one pruned postings scan projecting its
+    * rebased position array (`pos − relPos`); the k legs join on docId
+    * and the phrase freq is `size(array_intersect(...))` folded across
+    * legs — pure whole-stage-codegen array math over posting-granular
+    * rows. A phrase of two hot terms touches 2×docCount rows instead of
+    * Σ tf occurrence rows (the round-4 q_phrase fix: 2.55 s → posting
+    * granular). Repeated-term phrases work unchanged: the same leg
+    * self-joins and overlapping occurrences count, MultiPhrase
+    * semantics (gate bm25_phrase_rep). */
+  private def phraseFreqFast(p: PhraseQuery,
+                             filters: Seq[AttrPredicate]): DataFrame = {
+    val slots = p.slots.map { case (rel, ts) => (rel, ts.head) }
+    val legs = slots.zipWithIndex.map { case ((rel, term), i) =>
+      val scan0 = index.postings.filter(col("term") === term)
+      // attribute FILTER legs need applying once only — the first leg
+      val scan = if (i == 0) applyFilters(scan0, filters) else scan0
+      val cols = Seq(col("docId")) ++ (if (i == 0) Seq(col("norm")) else Nil) ++
+        Seq(transform(col("positions"), x => x - lit(rel)).as(s"base$i"))
+      scan.select(cols: _*)
+    }
+    val joined = legs.reduce((a, b) => a.join(b, "docId"))
+    val baseSet = (1 until slots.size).foldLeft(col("base0")) { (acc, i) =>
+      array_intersect(acc, col(s"base$i"))
+    }
+    joined
+      .select(col("docId"), col("norm"), size(baseSet).as("tf"))
+      .filter(col("tf") >= 1)
   }
 
   /** Multi-term CONSTANT_SCORE rewrite: docs containing any dictionary

@@ -135,6 +135,26 @@ class PathFieldsSpec extends SparkSuite {
       q("location_exact:/dls/i00/data/2000/ab00000-0/screening/ab*")).count() === 0L)
   }
 
+  test("fielded fuzzy works on the array-typed hierarchy view") {
+    import graft.model._
+    import spark.implicits._
+    val corpus = PathFields.expand(
+        locations.zipWithIndex.toDF("location", "i"), "location")
+      .withColumn("docId", col("i").cast("long"))
+    val idx = graft.build.Index(corpus, spark.emptyDataFrame,
+      spark.emptyDataFrame, graft.build.CorpusStats(4L, 4L), "simple")
+    val exec = new graft.score.QueryExec(idx)
+    // an element within 1 edit of a stored prefix matches (any-element
+    // semantics, like the wildcard/regexp/exact siblings); previously
+    // this threw AnalysisException (length() on an array column)
+    val fq = FieldFuzzyQuery("location_exact", "/dlz", maxEdits = 1,
+      transpositions = false)
+    assert(exec.matches(fq).count() === locations.size.toLong) // "/dls" 1 edit away, in every doc
+    val none = FieldFuzzyQuery("location_exact", "/zzzz", maxEdits = 1,
+      transpositions = false)
+    assert(exec.matches(none).count() === 0L)
+  }
+
   test("PathHierarchy analyzer emits prefixes as terms") {
     val a = Analyzers.PathHierarchy("/x/y/z.txt")
     assert(a.terms.toSeq === Seq("/x", "/x/y", "/x/y/z.txt"))

@@ -44,8 +44,8 @@ class GateSpec extends SparkSuite {
           "shh", "coeff", "sig", "bandstr", "bh", "cand",
           // lang-ID oracle CTEs
           "t", "g", "dc", "dn", "prof", "pn", "dots", "scored", "best",
-          // ann_lsh oracle CTEs
-          "planes", "qsig", "q")
+          // ann_lsh / neardup_embedding oracle CTEs
+          "planes", "qsig", "q", "e", "bands", "bb", "cand")
       assert(unknown.isEmpty, s"oracle references unknown tables: $unknown")
     }
   }
