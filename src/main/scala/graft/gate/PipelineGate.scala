@@ -63,6 +63,82 @@ object PipelineGate {
       s"($i, [${p.map(_.toString).mkString(", ")}]::DOUBLE[])"
     }.mkString(", ")
 
+  /** DuckDB replay of the exact-integer IVF build + probe
+    * (AnnIndex.buildIvf / ivfTopK with the gate's defaults: nCells=16,
+    * sampleSize=1024, iters=8, nProbe=4, query=vec 0, k=10). Every
+    * arithmetic step is either integer (order-independent sums) or a
+    * correctly-rounded IEEE double op on exactly-representable integers
+    * (the floor-division mean: all magnitudes < 2^24), so the replay is
+    * bit-identical to the Scala build. The 8 Lloyd iterations unroll as
+    * generated CTE pairs (a_j = assignment, c_{j+1} = re-centered grid
+    * centroids; empty cells keep their previous centroid). */
+  private lazy val ivfOracleSql: String = {
+    val iters = 8
+    val head =
+      s"""WITH qd AS MATERIALIZED (
+         |  SELECT vec_id,
+         |         unnest(generate_series(1, len(embedding))) AS d,
+         |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * ${Similarity.QuantScale} + 0.5) AS BIGINT) AS qv
+         |  FROM embeddings
+         |), samp AS MATERIALIZED (
+         |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS rn
+         |  FROM embeddings ORDER BY vec_id LIMIT 1024
+         |), km AS MATERIALIZED (
+         |  SELECT count(*) AS n, least(16, count(*)) AS k,
+         |         count(*) // least(16, count(*)) AS stride
+         |  FROM samp
+         |), sq AS MATERIALIZED (SELECT qd.vec_id, qd.d, qd.qv FROM qd JOIN samp USING (vec_id)),
+         |c0 AS MATERIALIZED (
+         |  SELECT CAST(samp.rn // km.stride AS INTEGER) AS cell, qd.d, qd.qv AS cv
+         |  FROM samp CROSS JOIN km JOIN qd USING (vec_id)
+         |  WHERE samp.rn % km.stride = 0 AND samp.rn // km.stride < km.k
+         |)""".stripMargin
+    val steps = (0 until iters).map { j =>
+      s"""a$j AS MATERIALIZED (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT s.vec_id, c.cell,
+         |           row_number() OVER (PARTITION BY s.vec_id
+         |             ORDER BY sum((s.qv - c.cv)*(s.qv - c.cv)), c.cell) AS rk
+         |    FROM sq s JOIN c$j c USING (d)
+         |    GROUP BY s.vec_id, c.cell)
+         |  WHERE rk = 1
+         |), c${j + 1} AS MATERIALIZED (
+         |  SELECT p.cell, p.d, COALESCE(m.cv, p.cv) AS cv
+         |  FROM c$j p LEFT JOIN (
+         |    SELECT a.cell, s.d,
+         |           CAST(floor((2.0*sum(s.qv) + count(*)) / (2.0*count(*))) AS BIGINT) AS cv
+         |    FROM a$j a JOIN sq s USING (vec_id) GROUP BY a.cell, s.d) m
+         |  ON p.cell = m.cell AND p.d = m.d
+         |)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    val tail =
+      s""",
+         |acell AS MATERIALIZED (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT q.vec_id, c.cell,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY sum((q.qv - c.cv)*(q.qv - c.cv)), c.cell) AS rk
+         |    FROM qd q JOIN c$iters c USING (d)
+         |    GROUP BY q.vec_id, c.cell)
+         |  WHERE rk = 1
+         |), pc AS MATERIALIZED (
+         |  SELECT cell FROM (
+         |    SELECT c.cell,
+         |           row_number() OVER (ORDER BY sum((p.qv - c.cv)*(p.qv - c.cv)), c.cell) AS rk
+         |    FROM (SELECT d, qv FROM qd WHERE vec_id = 0) p JOIN c$iters c USING (d)
+         |    GROUP BY c.cell)
+         |  WHERE rk <= 4
+         |), qe AS MATERIALIZED (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, round(list_cosine_similarity(e.embedding::DOUBLE[], qe.e), 4) AS cos
+         |FROM embeddings e
+         |JOIN (SELECT vec_id FROM acell
+         |      WHERE cell IN (SELECT cell FROM pc) AND vec_id <> 0) cand USING (vec_id)
+         |CROSS JOIN qe
+         |ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], qe.e) DESC, e.vec_id
+         |LIMIT 10""".stripMargin
+    head + steps + tail
+  }
+
   /** Shared shingle CTE for dedup oracles (5-gram over simple tokens). */
   private val shingleCte =
     """WITH arr AS (
@@ -278,11 +354,14 @@ object PipelineGate {
            |LIMIT 10""".stripMargin
       }),
 
-    // rows-only (the one remaining ANN no_oracle): the IVF coarse
-    // quantizer is trained on a PER-SF-DIR sample, so its centroids
-    // cannot be inlined into this static SQL the way the sf-independent
-    // LSH hyperplanes can; recall vs brute force + cell pruning stay
-    // pinned in PipelineSpec. Probes the materialized cell index.
+    // Full DuckDB replay (round 4): the IVF quantizer is exact-integer
+    // (Similarity.kmeansCentroidsQ — grid quantization, strided init, no
+    // RNG, integer Lloyd sums, floor-division grid snap), so the oracle
+    // unrolls the 8 Lloyd iterations as CTEs and reproduces the whole
+    // build bit-identically: sample → init → iterate → assign-all →
+    // probe-4-cells → exact cosine rerank. Probes the materialized cell
+    // index; recall vs brute force + cell pruning stay pinned in
+    // PipelineSpec.
     GateQuery("ann_ivf",
       (s, d) => {
         val emb = embeddings(s, d)
@@ -290,7 +369,7 @@ object PipelineGate {
           .select("embedding").head().getSeq[Float](0).toArray
         AnnIndex.ivfTopK(s, annDir(s, d), q, 10, excludeId = Some(0L))
       },
-      None),
+      Some(ivfOracleSql)),
 
     // Full DuckDB replay (round 4): the trigram model is emitted into the
     // oracle as VALUES (the model IS part of the operator — ~400 rows),

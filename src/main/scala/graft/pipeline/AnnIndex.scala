@@ -99,20 +99,21 @@ object AnnIndex {
 
   // ---------------- IVF ----------------
 
-  /** Build an IVF index at `dir`: k-means coarse quantizer trained on a
-    * deterministic sample (driver-side — the quantizer is tiny), every
-    * vector assigned to its nearest cell, written partitionBy(cell);
-    * centroids stored alongside. */
+  /** Build an IVF index at `dir`: exact-integer k-means coarse quantizer
+    * trained on a deterministic id-ordered sample (driver-side — the
+    * quantizer is tiny; see Similarity.kmeansCentroidsQ for why every
+    * step is SQL-replayable), every vector assigned to its nearest cell,
+    * written partitionBy(cell); grid centroids stored alongside. */
   def buildIvf(emb: DataFrame, dir: String, nCells: Int = 16,
-               sampleSize: Int = 1024, seed: Long = 42L,
+               sampleSize: Int = 1024,
                idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val sample = emb.orderBy(col(idCol)).limit(sampleSize)
       .select(vecCol).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    val cents = Similarity.kmeansCentroids(sample, math.min(nCells, sample.length), seed = seed)
+      .map(r => Similarity.quantize(r.getSeq[Float](0)))
+    val cents = Similarity.kmeansCentroidsQ(sample, math.min(nCells, sample.length))
     val bCents = emb.sparkSession.sparkContext.broadcast(cents)
     val cellUdf = udf((v: Seq[Float]) =>
-      Similarity.nearestCentroidOf(v.map(_.toDouble).toArray, bCents.value))
+      Similarity.nearestCentroidQ(Similarity.quantize(v), bCents.value))
     emb.withColumn("cell", cellUdf(col(vecCol)))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/ivf_cells")
@@ -121,24 +122,18 @@ object AnnIndex {
       java.nio.file.Paths.get(s"$dir/ivf_centroids.json"), centJson)
   }
 
-  def readCentroids(dir: String): Array[Array[Double]] = {
+  def readCentroids(dir: String): Array[Array[Long]] = {
     val s = java.nio.file.Files.readString(
       java.nio.file.Paths.get(s"$dir/ivf_centroids.json"))
     s.stripPrefix("[[").stripSuffix("]]").split("\\],\\[")
-      .map(_.split(",").map(_.toDouble))
+      .map(_.split(",").map(_.toLong))
   }
 
   /** The cell frame a probe scans (exposed for plan assertions). */
   def ivfProbeScan(spark: SparkSession, dir: String, query: Array[Float],
                    nProbe: Int = 4): DataFrame = {
     val cents = readCentroids(dir)
-    val qv = query.map(_.toDouble)
-    val probeCells = cents.zipWithIndex.map { case (c, i) =>
-      var d = 0.0
-      var j = 0
-      while (j < qv.length) { val x = qv(j) - c(j); d += x * x; j += 1 }
-      (i, d)
-    }.sortBy(_._2).take(nProbe).map(_._1)
+    val probeCells = Similarity.probeCellsQ(Similarity.quantize(query), cents, nProbe)
     spark.read.parquet(s"$dir/ivf_cells")
       .filter(col("cell").isin(probeCells.toSeq: _*)) // partition pruning
   }

@@ -98,18 +98,45 @@ object Similarity {
     * reranks those candidates exactly. The cell table is the "index";
     * at cluster scale it is partitioned by cell id so a probe touches
     * nProbe partitions. Training runs driver-side over a deterministic
-    * sample (standard IVF practice — the quantizer is tiny). */
-  def kmeansCentroids(sample: Array[Array[Double]], k: Int, iters: Int = 8,
-                      seed: Long = 42L): Array[Array[Double]] = {
-    val r = new java.util.Random(seed)
+    * sample (standard IVF practice — the quantizer is tiny).
+    *
+    * The quantizer is EXACT-INTEGER (round 4): vectors are quantized to
+    * a fixed grid (floor(x·10⁴ + 0.5)), the init is strided over the
+    * id-ordered sample (no RNG), Lloyd sums are integer (so
+    * order-independent), and each new centroid is snapped back to the
+    * grid via floor-division round-half-up. Every step is therefore
+    * bit-reproducible in plain SQL — the ann_ivf gate replays the whole
+    * build in DuckDB — while the coarse-quantizer quality is unchanged
+    * (grid spacing 1e-4 ≪ cell radii; recall pinned in PipelineSpec). */
+  val QuantScale = 10000
+
+  /** Quantize a float vector onto the integer grid (identical arithmetic
+    * to the SQL replay: exact float→double widening, one double multiply,
+    * floor(x+0.5)). */
+  def quantize(v: Seq[Float]): Array[Long] = {
+    val out = new Array[Long](v.length)
+    var j = 0
+    while (j < out.length) {
+      out(j) = math.floor(v(j).toDouble * QuantScale + 0.5).toLong
+      j += 1
+    }
+    out
+  }
+
+  /** Exact-integer Lloyd iterations over the quantized sample. Init =
+    * sample rows at positions c·(n/k) (integer division) of the id-sorted
+    * sample; ties in assignment break to the lowest cell; a cell that
+    * loses all members keeps its previous centroid. */
+  def kmeansCentroidsQ(sample: Array[Array[Long]], k: Int,
+                       iters: Int = 8): Array[Array[Long]] = {
     val dim = sample.head.length
-    val idx = r.ints(0, sample.length).distinct().limit(k).toArray
-    val cents = idx.map(i => sample(i).clone())
+    val stride = sample.length / k
+    val cents = Array.tabulate(k)(c => sample(c * stride).clone())
     (0 until iters).foreach { _ =>
-      val sums = Array.fill(k)(new Array[Double](dim))
-      val counts = new Array[Int](k)
+      val sums = Array.fill(k)(new Array[Long](dim))
+      val counts = new Array[Long](k)
       sample.foreach { v =>
-        val c = nearestCentroid(v, cents)
+        val c = nearestCentroidQ(v, cents)
         counts(c) += 1
         var j = 0
         while (j < dim) { sums(c)(j) += v(j); j += 1 }
@@ -117,54 +144,58 @@ object Similarity {
       (0 until k).foreach { c =>
         if (counts(c) > 0) {
           var j = 0
-          while (j < dim) { cents(c)(j) = sums(c)(j) / counts(c); j += 1 }
+          while (j < dim) {
+            // round-half-up mean, snapped to the grid: floor((2s+n)/(2n))
+            cents(c)(j) = Math.floorDiv(2 * sums(c)(j) + counts(c), 2 * counts(c))
+            j += 1
+          }
         }
       }
     }
     cents
   }
 
-  /** Index of the nearest centroid (squared-L2). */
-  def nearestCentroidOf(v: Array[Double], cents: Array[Array[Double]]): Int =
-    nearestCentroid(v, cents)
-
-  private def nearestCentroid(v: Array[Double], cents: Array[Array[Double]]): Int = {
+  /** Index of the nearest centroid (integer squared-L2 on the grid;
+    * strict `<` keeps the lowest cell on exact ties). */
+  def nearestCentroidQ(q: Array[Long], cents: Array[Array[Long]]): Int = {
     var best = 0
-    var bestD = Double.MaxValue
+    var bestD = Long.MaxValue
     var c = 0
     while (c < cents.length) {
-      var d = 0.0
+      var d = 0L
       var j = 0
-      while (j < v.length) { val x = v(j) - cents(c)(j); d += x * x; j += 1 }
+      while (j < q.length) { val x = q(j) - cents(c)(j); d += x * x; j += 1 }
       if (d < bestD) { bestD = d; best = c }
       c += 1
     }
     best
   }
 
+  /** Rank of each cell by integer distance to `q` (lowest cell wins
+    * ties), nearest `nProbe` first. */
+  def probeCellsQ(q: Array[Long], cents: Array[Array[Long]],
+                  nProbe: Int): Array[Int] =
+    cents.zipWithIndex.map { case (c, i) =>
+      var d = 0L
+      var j = 0
+      while (j < q.length) { val x = q(j) - c(j); d += x * x; j += 1 }
+      (i, d)
+    }.sortBy { case (i, d) => (d, i) }.take(nProbe).map(_._1)
+
   /** IVF top-k for one query vector. */
   def ivfTopK(emb: DataFrame, query: Array[Float], k: Int,
               nCells: Int = 16, nProbe: Int = 4, sampleSize: Int = 1024,
-              seed: Long = 42L, idCol: String = "vec_id",
+              idCol: String = "vec_id",
               vecCol: String = "embedding", excludeId: Option[Long] = None): DataFrame = {
     val base = excludeId.map(i => emb.filter(col(idCol) =!= i)).getOrElse(emb)
     // deterministic sample: lowest ids
     val sample = base.orderBy(col(idCol)).limit(sampleSize)
       .select(vecCol).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    val cents = kmeansCentroids(sample, math.min(nCells, sample.length), seed = seed)
+      .map(r => quantize(r.getSeq[Float](0)))
+    val cents = kmeansCentroidsQ(sample, math.min(nCells, sample.length))
     val bCents = base.sparkSession.sparkContext.broadcast(cents)
-    val cellUdf = udf((v: Seq[Float]) =>
-      nearestCentroid(v.map(_.toDouble).toArray, bCents.value))
-    val qv = query.map(_.toDouble)
-    val probeCells = cents.zipWithIndex
-      .map { case (c, i) =>
-        var d = 0.0
-        var j = 0
-        while (j < qv.length) { val x = qv(j) - c(j); d += x * x; j += 1 }
-        (i, d)
-      }
-      .sortBy(_._2).take(nProbe).map(_._1)
+    val cellUdf = udf((v: Seq[Float]) => nearestCentroidQ(quantize(v), bCents.value))
+    val probeCells = probeCellsQ(quantize(query), cents, nProbe)
     base.withColumn("__cell", cellUdf(col(vecCol)))
       .filter(col("__cell").isin(probeCells.toSeq: _*))
       .select(col(idCol), cosineCol(col(vecCol), query).as("cos"))

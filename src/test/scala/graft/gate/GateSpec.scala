@@ -45,7 +45,12 @@ class GateSpec extends SparkSuite {
           // lang-ID oracle CTEs
           "t", "g", "dc", "dn", "prof", "pn", "dots", "scored", "best",
           // ann_lsh / neardup_embedding oracle CTEs
-          "planes", "qsig", "q", "e", "bands", "bb", "cand")
+          "planes", "qsig", "q", "e", "bands", "bb", "cand",
+          // ann_ivf oracle CTEs (the 8 unrolled Lloyd iterations are
+          // a0..a7 / c0..c8; the FROM-regex strips the digit)
+          "qd", "samp", "km", "sq", "acell", "pc", "qe") --
+        // iteration CTEs: a<j>, c<j>
+        froms.filter(f => "^[ac]\\d*$".r.matches(f))
       assert(unknown.isEmpty, s"oracle references unknown tables: $unknown")
     }
   }
