@@ -56,6 +56,12 @@ final case class Index(
 
 object IndexBuilder {
 
+  /** Target posting rows per shuffle partition for the salted postings
+    * write — sized so a partition's sortWithinPartitions run (~80 B/row
+    * unsafe row + sorter pointers ≈ 320 MB) stays inside one task's
+    * execution memory share at the default heap. */
+  val TargetShuffleRows: Long = 4000000L
+
   /** Build the inverted index tables from a corpus with docIds.
     *
     * Shuffle plan (scale notes):
@@ -189,17 +195,34 @@ object IndexBuilder {
                    saltBuckets: Int = 16, writeCorpus: Boolean = true,
                    sampleRate: Int = 100, withPositions: Boolean = false): Index = {
     val spark = corpusWithIds.sparkSession
-    val n = if (numPartitions > 0) numPartitions
-            else spark.sessionState.conf.numShufflePartitions
 
-    // heavy-hitter estimate from a deterministic doc sample
+    // heavy-hitter + volume estimate from one deterministic doc sample
     val sampled = corpusWithIds.filter(pmod(xxhash64(col("docId")), lit(sampleRate)) === 0)
-    val hotTerms = analyzedPostings(sampled, analyzer)
+    val sampleTermCounts = analyzedPostings(sampled, analyzer)
       .groupBy("term").agg(count(lit(1)).as("sdf"))
+      .persist()
+    val hotTerms = sampleTermCounts
       .filter(col("sdf") * sampleRate >= hotDfThreshold)
       .select("term").collect().map(_.getString(0)).toSet
+    val sampledRows = sampleTermCounts.agg(sum(col("sdf"))).collect()(0)
+    val estPostings =
+      (if (sampledRows.isNullAt(0)) 0L else sampledRows.getLong(0)) * sampleRate
+    sampleTermCounts.unpersist()
     val bHot = spark.sparkContext.broadcast(hotTerms)
     val isHot = udf((t: String) => bHot.value.contains(t))
+
+    // Partition the ONE salted shuffle by DATA VOLUME, not core count:
+    // with partitions tied to parallelism, per-partition sort volume
+    // grows linearly with the corpus until sortWithinPartitions spills
+    // and the build turns superlinear (measured: 2.5× turns → 5.3× the
+    // 8-core wall). ~TargetShuffleRows posting rows (~≤300 MB unsafe
+    // rows) per partition keeps every sort in execution memory at any
+    // corpus size — at 10^12 postings this yields ~250k tasks, the
+    // shape a 1000-executor cluster wants — while the numShufflePartitions
+    // floor keeps every core busy on small corpora.
+    val n = if (numPartitions > 0) numPartitions
+            else math.max(spark.sessionState.conf.numShufflePartitions.toLong,
+                          estPostings / TargetShuffleRows + 1).toInt
 
     // zero-token docs ride along as ONE null-term sentinel row each, so
     // the exact Lucene docCount (docs with ≥1 term) falls out of

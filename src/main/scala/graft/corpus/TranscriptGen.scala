@@ -103,10 +103,23 @@ object TranscriptGen {
     }
   }
 
-  /** Distributed generation of `numConvs` conversations. */
+  /** Conversations per generation partition. ~32.5 turns/conv mean, so
+    * this is ~50k turns (~25 MB of text) per task — the split size a
+    * parquet reader (maxPartitionBytes) would produce for the same data.
+    * Without it, spark.range defaults to core-count partitions and the
+    * per-task analyze/partial-agg volume grows linearly with the corpus:
+    * measured 1.5× per-turn CPU at 2.5× corpus from agg hash tables
+    * outgrowing their memory share. */
+  final val ConvsPerPartition = 1536L
+
+  /** Distributed generation of `numConvs` conversations. Partitioned by
+    * volume, not core count (per-conv RNG ⇒ the corpus is identical
+    * under any partitioning). */
   def generate(spark: SparkSession, numConvs: Long): Dataset[Turn] = {
     import spark.implicits._
-    spark.range(numConvs).flatMap(convIdx => turnsOf(convIdx))
+    val parts = math.max(spark.sparkContext.defaultParallelism.toLong,
+                         numConvs / ConvsPerPartition + 1)
+    spark.range(0L, numConvs, 1L, parts.toInt).flatMap(convIdx => turnsOf(convIdx))
   }
 
   /** Fixture scales from FIXTURES.md §1. */

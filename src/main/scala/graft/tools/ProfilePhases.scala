@@ -90,17 +90,24 @@ object ProfilePhases {
       t("TOTAL", cores) {
         val corpus = t("docIds", cores)(DocIds.forTurns(turns))
         val analyzer = Analyzers.Icat
-        val n = spark.sessionState.conf.numShufflePartitions
         val sampleRate = 100
         val hotDfThreshold = 10000L
         val dir = outDir
-        val hotTerms = t("hotSample", cores) {
+        val (hotTerms, estPostings) = t("hotSample", cores) {
           val sampled = corpus.filter(pmod(xxhash64(col("docId")), lit(sampleRate)) === 0)
-          IndexBuilder.analyzedPostings(sampled, analyzer)
+          val counts = IndexBuilder.analyzedPostings(sampled, analyzer)
             .groupBy("term").agg(count(lit(1)).as("sdf"))
-            .filter(col("sdf") * sampleRate >= hotDfThreshold)
+            .persist()
+          val hot = counts.filter(col("sdf") * sampleRate >= hotDfThreshold)
             .select("term").collect().map(_.getString(0)).toSet
+          val tot = counts.agg(sum(col("sdf"))).collect()(0)
+          counts.unpersist()
+          (hot, (if (tot.isNullAt(0)) 0L else tot.getLong(0)) * sampleRate)
         }
+        // volume-sized shuffle, mirroring IndexBuilder.buildAndSave
+        val n = math.max(spark.sessionState.conf.numShufflePartitions.toLong,
+                         estPostings / IndexBuilder.TargetShuffleRows + 1).toInt
+        println(s"[pp@$cores] estPostings=$estPostings shufflePartitions=$n")
         val bHot = spark.sparkContext.broadcast(hotTerms)
         val isHot = udf((s: String) => bHot.value.contains(s))
         t("analyzeWrite", cores) {
