@@ -32,4 +32,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // — exactly the non-scaling overhead that depressed the 8→32
   // efficiency headline. The box has 128 GiB; heap is lazily committed.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
-)
+) ++ sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.split("\\s+").filter(_.nonEmpty))

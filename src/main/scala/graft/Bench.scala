@@ -157,40 +157,85 @@ object Bench {
     * the first session per run needs it). The host's CPU delivery varies
     * minute to minute, so the caller alternates core counts (A/B/A/B) and
     * takes the best per count. */
+  /** One measured build window in a FRESH SUBPROCESS (see [[BenchBuild]]):
+    * a shared bench JVM ages its heap across windows, and at the 1.94M-turn
+    * corpus a 32-core build in the aged JVM measured 3.4× the CPU of the
+    * identical build in a fresh one — GC debt, not the engine. Each child
+    * generates its corpus and runs a quarter-size warm build untimed
+    * (fresh JVM ⇒ cold C2), then times the full build; delivery and steal
+    * are measured inside the child, the bracketing probes in the parent.
+    * Falls back to the old in-JVM path if the subprocess cannot start. */
   private def buildAt(cores: Int, numConvs: Long, outDir: String,
                       warm: Boolean): (Long, Window) = {
-    // 2× tasks per stage in the scaling sessions: with exactly `cores`
-    // equal tasks, one straggler idles every other core at the stage tail
-    // (observed ~26/32 cores delivered); finer tasks pack the tail
+    val (pBefore, aBefore) = cpuProbe(cores)
+    val sub = buildSubprocess(cores, numConvs, outDir)
+    val (nTurns, secs, deliv, stealC) = sub.getOrElse {
+      System.err.println("[bench] WARN: build subprocess failed; in-JVM fallback")
+      buildInJvm(cores, numConvs, outDir, warm)
+    }
+    val (pAfter, aAfter) = cpuProbe(cores)
+    val w = Window(cores, secs, pBefore, pAfter, aBefore, aAfter, deliv, stealC)
+    System.err.println(s"[bench window] ${w.json}")
+    (nTurns, w)
+  }
+
+  /** Spawn [[BenchBuild]] with the parent's JVM flags (add-opens, heap). */
+  private def buildSubprocess(cores: Int, numConvs: Long,
+                              outDir: String): Option[(Long, Double, Double, Double)] =
+    try {
+      val javaBin = sys.props("java.home") + "/bin/java"
+      val jvmArgs = java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getInputArguments
+      val warmConvs = math.max(numConvs / 4, 2000L)
+      val cmd = new java.util.ArrayList[String]()
+      cmd.add(javaBin)
+      cmd.addAll(jvmArgs)
+      cmd.add("-cp"); cmd.add(sys.props("java.class.path"))
+      cmd.add("graft.BenchBuild")
+      Seq(cores.toString, numConvs.toString, outDir, warmConvs.toString,
+        s"$outDir-sparklocal").foreach(cmd.add)
+      val pb = new ProcessBuilder(cmd)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val p = pb.start()
+      val out = new String(p.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val rc = p.waitFor()
+      val line = out.split("\n").map(_.trim).reverse.find(_.startsWith("GRAFT_BUILD"))
+      line match {
+        case Some(l) if rc == 0 =>
+          val f = l.split("\\s+")
+          Some((f(1).toLong, f(2).toDouble, f(3).toDouble, f(4).toDouble))
+        case _ => None
+      }
+    } catch { case _: Exception => None }
+
+  /** Legacy in-JVM build window (fallback only). */
+  private def buildInJvm(cores: Int, numConvs: Long, outDir: String,
+                         warm: Boolean): (Long, Double, Double, Double) = {
+    // 2× tasks per stage: with exactly `cores` equal tasks, one straggler
+    // idles every other core at the stage tail
     val spark = session(cores, cores * 2)
     try {
-      // ingest (untimed): materialize the synthetic corpus like a source table
       val turns = TranscriptGen.generate(spark, numConvs)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nTurns = turns.count()
 
-      def oneBuild(dir: String, withCorpus: Boolean = false): Window = {
-        val (pBefore, aBefore) = cpuProbe(cores)
+      def oneBuild(dir: String, withCorpus: Boolean = false): (Double, Double, Double) = {
         val steal0 = stealJiffies(); val cpu0 = processCpuSecs()
         val (_, secs) = time {
           val corpus = DocIds.forTurns(turns)
-          // at-scale path: analyze → one salted shuffle → sorted parquet,
-          // stats from the written table; no posting-row cache
           IndexBuilder.buildAndSave(corpus, Analyzers.Icat, dir,
             hotDfThreshold = 10000L, writeCorpus = withCorpus)
         }
         val stealC = (stealJiffies() - steal0) / 100.0 / secs
         val deliv = if (cpu0 < 0) -1.0 else (processCpuSecs() - cpu0) / secs
-        val (pAfter, aAfter) = cpuProbe(cores)
-        // drop all build caches so the next run starts clean (GC fairness)
         spark.catalog.clearCache()
         turns.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
-        Window(cores, secs, pBefore, pAfter, aBefore, aAfter, deliv, stealC)
+        (secs, deliv, stealC)
       }
       if (warm) { oneBuild(s"$outDir-warm", withCorpus = true); System.gc() }
-      val w = oneBuild(outDir)
-      System.err.println(s"[bench window] ${w.json}")
-      (nTurns, w)
+      val (secs, deliv, stealC) = oneBuild(outDir)
+      (nTurns, secs, deliv, stealC)
     } finally spark.stop()
   }
 
