@@ -278,6 +278,33 @@ object PipelineGate {
              |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS w
              |    FROM documents)) ORDER BY doc_id""".stripMargin)),
 
+    GateQuery("doc_repetition",
+      (s, d) => TextAnalysis.repetitionStats(docs(s, d)).orderBy("doc_id"),
+      Some("""WITH w AS (
+             |  SELECT doc_id,
+             |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS w
+             |  FROM documents),
+             |base AS (SELECT doc_id, w, len(w) AS n FROM w),
+             |tok AS (SELECT doc_id, unnest(w) AS t FROM base),
+             |wc AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t),
+             |topw AS (SELECT doc_id, t, c FROM (
+             |  SELECT doc_id, t, c,
+             |    row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, t ASC) AS rn
+             |  FROM wc) WHERE rn = 1),
+             |bg AS (SELECT doc_id,
+             |    unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS b
+             |  FROM base WHERE len(w) >= 2),
+             |bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b),
+             |topb AS (SELECT doc_id, max(c) AS c FROM bc GROUP BY doc_id)
+             |SELECT base.doc_id,
+             |  CAST(n AS BIGINT) AS n_tokens,
+             |  topw.t AS top_word,
+             |  round(topw.c * 1.0 / n, 4) AS top_word_frac,
+             |  round(topb.c * 1.0 / (n - 1), 4) AS top_bigram_frac,
+             |  round((n - len(list_distinct(w))) * 1.0 / n, 4) AS dup_frac
+             |FROM base LEFT JOIN topw USING (doc_id) LEFT JOIN topb USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
     GateQuery("token_counts",
       (s, d) => TextAnalysis.tokenCounts(docs(s, d))
         .select("doc_id", "ws_tokens").orderBy("doc_id"),

@@ -53,6 +53,57 @@ object TextAnalysis {
       .withColumn("lang_pred",
         when(col("stop_ratio") >= enThreshold, "en").otherwise("unknown"))
 
+  /** Gopher/C4-style repetition quality signals, per doc:
+    *   - `top_word` / `top_word_frac`: the most frequent token (ties →
+    *     lexicographically smallest) and its share of all tokens
+    *   - `top_bigram_frac`: the most frequent word 2-gram's share of all
+    *     2-grams (null when the doc has < 2 tokens)
+    *   - `dup_frac`: fraction of tokens that repeat an earlier one
+    *     (1 − distinct/total)
+    *
+    * High values flag boilerplate / template / stuttering-generator text
+    * for a training-data filter pass. Pure higher-order-function column
+    * expressions — per-row work over the doc's own token array, NO
+    * shuffle, no UDF: at 100 TB this runs as a narrow map over the scan.
+    * Frequencies come from run lengths of the per-doc sorted token
+    * array (sort_array + run boundaries), not a groupBy. */
+  def repetitionStats(df: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    // run-start positions (1-based) in a sorted array s, then run
+    // lengths from consecutive starts; max run = top item's count and
+    // the FIRST max (array_position) is the lexicographically smallest
+    def topRun(s: Column, n: Column): (Column, Column) = {
+      val starts = filter(sequence(lit(1), n.cast("int")),
+        i => (i === 1) || (element_at(s, i) =!= element_at(s, i - 1)))
+      val runs = zip_with(starts,
+        concat(slice(starts, lit(2), size(starts)), array(n.cast("int") + 1)),
+        (a, b) => b - a)
+      val topCount = array_max(runs)
+      val topItem = element_at(s, element_at(starts, array_position(runs, topCount).cast("int")))
+      (topItem, topCount)
+    }
+    val base = df.select(col(idCol), toks(col(textCol)).as("w"))
+      .withColumn("n", size(col("w")).cast("long"))
+      .withColumn("sw", sort_array(col("w")))
+      .withColumn("bg", sort_array(zip_with(
+        slice(col("w"), lit(1), greatest(size(col("w")) - 1, lit(0))),
+        slice(col("w"), lit(2), greatest(size(col("w")) - 1, lit(0))),
+        (a, b) => concat_ws(" ", a, b))))
+    val (topW, topWc) = topRun(col("sw"), col("n"))
+    val (_, topBc) = topRun(col("bg"), col("n") - 1)
+    base
+      .withColumn("top_word", when(col("n") > 0, topW))
+      .withColumn("top_word_frac",
+        when(col("n") > 0, round(topWc * lit(1.0) / col("n"), 4)))
+      .withColumn("top_bigram_frac",
+        when(col("n") > 1, round(topBc * lit(1.0) / (col("n") - 1), 4)))
+      .withColumn("dup_frac",
+        when(col("n") > 0,
+          round((col("n") - size(array_distinct(col("w")))) * lit(1.0) / col("n"), 4)))
+      .select(col(idCol), col("n").as("n_tokens"), col("top_word"),
+        col("top_word_frac"), col("top_bigram_frac"), col("dup_frac"))
+  }
+
   /** Whitespace + BPE-ish token counting: raw whitespace tokens and
     * subword-ish segments (runs of letters / digits / other). */
   def tokenCounts(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =

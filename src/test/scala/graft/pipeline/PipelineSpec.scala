@@ -188,4 +188,40 @@ class PipelineSpec extends SparkSuite {
     assert(fps(1L) === fps(2L))
     assert(fps(1L) !== fps(3L))
   }
+
+  test("repetitionStats: hand-computed goldens incl. tie-break and edge cases") {
+    import spark.implicits._
+    val df = Seq(
+      // "a b a b a": top word a (3/5), bigrams: "a b"×2,"b a"×2 → tie,
+      // frac 2/4; dup 3/5 (2 distinct of 5)
+      (1L, "a b a b a"),
+      // all same word: top 4/4, bigram 3/3, dup 3/4
+      (2L, "x x x x"),
+      // all distinct: top tie → lexicographically smallest "ant"
+      (3L, "zebra ant moth"),
+      // single token: no bigrams → null
+      (4L, "solo"),
+      // punctuation/case folding matches the analyzer-free toks()
+      (5L, "The THE the, cat!")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(df).orderBy("doc_id").collect()
+    val byId = got.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getLong(1) === 5L)
+    assert(byId(1L).getString(2) === "a")
+    assert(byId(1L).getDouble(3) === 0.6)
+    assert(byId(1L).getDouble(4) === 0.5)
+    assert(byId(1L).getDouble(5) === 0.6)
+    assert(byId(2L).getString(2) === "x")
+    assert(byId(2L).getDouble(3) === 1.0)
+    assert(byId(2L).getDouble(4) === 1.0)
+    assert(byId(2L).getDouble(5) === 0.75)
+    assert(byId(3L).getString(2) === "ant")
+    assert(byId(3L).getDouble(3) === 0.3333)
+    assert(byId(3L).getDouble(5) === 0.0)
+    assert(byId(4L).getLong(1) === 1L)
+    assert(byId(4L).isNullAt(4))
+    assert(byId(5L).getLong(1) === 4L)
+    assert(byId(5L).getString(2) === "the")
+    assert(byId(5L).getDouble(3) === 0.75)
+  }
 }
