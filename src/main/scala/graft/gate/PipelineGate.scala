@@ -305,6 +305,24 @@ object PipelineGate {
              |FROM base LEFT JOIN topw USING (doc_id) LEFT JOIN topb USING (doc_id)
              |ORDER BY doc_id""".stripMargin)),
 
+    GateQuery("doc_chunks",
+      // 64-token chunks, 16-token overlap (stride 48)
+      (s, d) => TextAnalysis.chunkDocuments(docs(s, d), 64, 16)
+        .orderBy("doc_id", "chunk_idx"),
+      Some("""WITH w AS (
+             |  SELECT doc_id,
+             |    list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS w
+             |  FROM documents),
+             |base AS (SELECT doc_id, w, len(w) AS n FROM w WHERE len(w) > 0),
+             |starts AS (SELECT doc_id, w,
+             |    unnest(range(0, ((greatest(n - 64, 0) + 47) // 48) * 48 + 1, 48)) AS start
+             |  FROM base)
+             |SELECT doc_id,
+             |  CAST(start // 48 AS INT) AS chunk_idx,
+             |  array_to_string(list_slice(w, start + 1, start + 64), ' ') AS chunk_text,
+             |  CAST(len(list_slice(w, start + 1, start + 64)) AS BIGINT) AS chunk_tokens
+             |FROM starts ORDER BY doc_id, chunk_idx""".stripMargin)),
+
     GateQuery("token_counts",
       (s, d) => TextAnalysis.tokenCounts(docs(s, d))
         .select("doc_id", "ws_tokens").orderBy("doc_id"),

@@ -104,6 +104,40 @@ object TextAnalysis {
         col("top_word_frac"), col("top_bigram_frac"), col("dup_frac"))
   }
 
+  /** Split documents into fixed-size token chunks with overlap — the
+    * context-window packing step of a training-data pipeline. Emits one
+    * row per chunk: (id, chunk_idx, chunk_text, chunk_tokens), where
+    * chunk i covers tokens [i·stride, i·stride + chunkTokens) of the
+    * whitespace tokenization and stride = chunkTokens − overlap. The
+    * final chunk may be short; a document shorter than one chunk yields
+    * exactly one chunk; an empty document yields none.
+    *
+    * Shuffle-free: chunk starts are a per-row `sequence`, posexplode is
+    * a narrow generator, and the text reassembles with slice +
+    * array_join — at 100 TB this pipelines inside the scan stage with
+    * no exchange. */
+  def chunkDocuments(df: DataFrame, chunkTokens: Int, overlap: Int = 0,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens, got chunkTokens=$chunkTokens overlap=$overlap")
+    val stride = chunkTokens - overlap
+    val w = filter(split(col(textCol), "\\s+"), t => t =!= "")
+    df.select(col(idCol), w.as("w"))
+      .withColumn("n", size(col("w")))
+      .where(col("n") > 0)
+      // last start: the smallest multiple of stride whose chunk reaches
+      // the end — ⌈max(n−chunkTokens,0)/stride⌉·stride (no trailing
+      // chunk that is wholly inside the previous chunk's overlap)
+      .select(col(idCol), col("w"),
+        posexplode(sequence(lit(0),
+          ((greatest(col("n") - chunkTokens, lit(0)) + (stride - 1))
+            .divide(stride).cast("int") * stride).cast("int"),
+          lit(stride))).as(Seq("chunk_idx", "start")))
+      .select(col(idCol), col("chunk_idx"),
+        array_join(slice(col("w"), col("start") + 1, lit(chunkTokens)), " ").as("chunk_text"),
+        size(slice(col("w"), col("start") + 1, lit(chunkTokens))).cast("long").as("chunk_tokens"))
+  }
+
   /** Whitespace + BPE-ish token counting: raw whitespace tokens and
     * subword-ish segments (runs of letters / digits / other). */
   def tokenCounts(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =

@@ -224,4 +224,31 @@ class PipelineSpec extends SparkSuite {
     assert(byId(5L).getString(2) === "the")
     assert(byId(5L).getDouble(3) === 0.75)
   }
+
+  test("chunkDocuments: coverage, overlap, and no redundant tail chunk") {
+    import spark.implicits._
+    val words10 = (1 to 10).map(i => s"t$i").mkString(" ")
+    val df = Seq(
+      (1L, words10),        // 10 tokens, chunk=4 overlap=1 (stride 3)
+      (2L, "a b"),          // shorter than one chunk → exactly one
+      (3L, "x y z w"),      // exactly one chunk length → one chunk
+      (4L, "  ")            // empty after tokenize → no chunks
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkDocuments(df, 4, 1)
+      .orderBy("doc_id", "chunk_idx").collect()
+    val d1 = got.filter(_.getLong(0) == 1L)
+    // starts 0,3,6 (⌈6/3⌉·3=6): chunks t1-t4, t4-t7, t7-t10
+    assert(d1.map(_.getInt(1)).toSeq === Seq(0, 1, 2))
+    assert(d1.map(_.getString(2)).toSeq ===
+      Seq("t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"))
+    assert(d1.map(_.getLong(3)).toSeq === Seq(4L, 4L, 4L))
+    val d2 = got.filter(_.getLong(0) == 2L)
+    assert(d2.length === 1 && d2(0).getString(2) === "a b" && d2(0).getLong(3) === 2L)
+    val d3 = got.filter(_.getLong(0) == 3L)
+    assert(d3.length === 1 && d3(0).getString(2) === "x y z w")
+    assert(!got.exists(_.getLong(0) == 4L))
+    // every token of doc 1 appears in some chunk (coverage)
+    val covered = d1.flatMap(_.getString(2).split(" ")).toSet
+    assert(covered === (1 to 10).map(i => s"t$i").toSet)
+  }
 }
