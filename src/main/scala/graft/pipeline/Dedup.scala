@@ -43,17 +43,40 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
       .select("keep_id", "dup_count")
 
-  /** Word n-gram shingles: (id, shingle) distinct. */
-  def shingles(df: DataFrame, n: Int, idCol: String = "doc_id",
-               textCol: String = "text"): DataFrame = {
+  /** Per-document distinct shingle sets: (id, set: array<string>, sz).
+    * The distinct is `array_distinct` BEFORE any explode — shingle sets
+    * are per-document, so deduplication never needs a shuffle, and the
+    * set size falls out of the array for free (no groupBy("id") pass
+    * over the exploded stream either). At corpus scale this removes the
+    * first full-stream exchange every shingle-based operator used to
+    * pay. */
+  private def shingleSets(df: DataFrame, n: Int, idCol: String,
+                          textCol: String): DataFrame = {
     val toks = tokensCol(col(textCol))
     df.select(col(idCol).as("id"), toks.as("w"))
       .where(size(col("w")) >= n)
-      .select(col("id"), explode(
+      .select(col("id"), array_distinct(
         transform(sequence(lit(0), size(col("w")) - n),
-          i => concat_ws(" ", slice(col("w"), i + lit(1), lit(n))))).as("shingle"))
-      .distinct()
+          i => concat_ws(" ", slice(col("w"), i + lit(1), lit(n))))).as("set"))
+      .withColumn("sz", size(col("set")).cast("long"))
   }
+
+  /** Word n-gram shingles: (id, shingle) distinct (shuffle-free — the
+    * dedup happens inside each document's array). */
+  def shingles(df: DataFrame, n: Int, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame =
+    shingleSets(df, n, idCol, textCol)
+      .select(col("id"), explode(col("set")).as("shingle"))
+
+  /** Distinct 64-bit-hashed shingles: (id, shingle: long) — every later
+    * shuffle of the stream (self-joins, overlap counts) then moves 16
+    * bytes per row instead of the ~n-word shingle text. Overlap counts
+    * are unchanged unless two distinct shingles collide in 64 bits
+    * (birthday-safe until ~10^9 distinct shingles per job). */
+  private def hashedShingles(df: DataFrame, n: Int, idCol: String,
+                             textCol: String): DataFrame =
+    shingles(df, n, idCol, textCol)
+      .select(col("id"), xxhash64(col("shingle")).as("shingle"))
 
   /** Exact n-gram Jaccard near-dup pairs: inverted-index self-join on the
     * shingle (the blocking key), count common shingles per pair, then
@@ -82,45 +105,54 @@ object Dedup {
                         idCol: String = "doc_id", textCol: String = "text",
                         hotShingleDfCap: Long = Long.MaxValue,
                         eager: Boolean = true): DataFrame = {
-    // the blocking key is xxhash64(shingle), not the ~n-word string: the
-    // self-join shuffles 8-byte keys instead of shingle text (round 4 —
-    // ~4× fewer shuffle bytes). Set sizes / common counts are unchanged
-    // unless two distinct shingles of one corpus collide in 64 bits
-    // (birthday-safe until ~10^9 distinct shingles per job; the DuckDB
-    // gate oracle replays over the strings and stays hash-identical)
-    val sh0 = shingles(df, n, idCol, textCol)
-      .select(col("id"), xxhash64(col("shingle")).as("shingle"))
-    val sh = if (eager) sh0.persist() else sh0
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    // shuffle inventory (the 100 TB budget): the per-doc distinct and the
+    // set sizes are shuffle-FREE (array_distinct inside the row); every
+    // exchange that remains moves xxhash64 keys, never the ~n-word
+    // shingle string (the DuckDB gate oracle replays over the strings and
+    // stays hash-identical). Uncapped: self-join + pair agg. Capped: hot
+    // df agg, rare self-join + pair agg, hot-rows-only per-doc agg.
+    val sets0 = shingleSets(df, n, idCol, textCol)
+    val sets = if (eager) sets0.persist() else sets0
+    val sh = sets.select(col("id"), explode(col("set")).as("s"))
+      .select(col("id"), xxhash64(col("s")).as("shingle"))
+    val sizes = sets.select(col("id"), col("sz"))
     val capped = hotShingleDfCap != Long.MaxValue
-    // hot shingles are FEW (≤ total shingle rows / cap distinct) — AQE
-    // broadcasts the anti/semi side; sh is never shuffled whole
-    lazy val hotShingles = sh.groupBy("shingle").agg(count(lit(1)).as("sdf"))
-      .filter(col("sdf") > hotShingleDfCap).select("shingle")
-    val common =
+    val (common, hotPerDocOpt) =
       if (!capped) {
-        sh.select(col("id").as("ida"), col("shingle"))
+        val c = sh.select(col("id").as("ida"), col("shingle"))
           .join(sh.select(col("id").as("idb"), col("shingle")), "shingle")
           .where(col("ida") < col("idb"))
           .groupBy("ida", "idb").agg(count(lit(1)).as("common"))
+        (c, None)
       } else {
-        val rare = sh.join(hotShingles, Seq("shingle"), "left_anti")
+        // hot shingles are FEW (≤ stream/cap distinct) — AQE broadcasts
+        // the flag join's hot side when it fits
+        val hotShingles = sh.groupBy("shingle").agg(count(lit(1)).as("sdf"))
+          .filter(col("sdf") > hotShingleDfCap)
+          .select("shingle").withColumn("ish", lit(true))
+        val flagged = sh.join(hotShingles, Seq("shingle"), "left")
+          .select(col("id"), col("shingle"), coalesce(col("ish"), lit(false)).as("hot"))
+        val flaggedP = if (eager) flagged.persist() else flagged
+        val rare = flaggedP.where(!col("hot"))
         val commonRare = rare.select(col("id").as("ida"), col("shingle"))
           .join(rare.select(col("id").as("idb"), col("shingle")), "shingle")
           .where(col("ida") < col("idb"))
           .groupBy("ida", "idb").agg(count(lit(1)).as("common_rare"))
         // exact correction: per-doc hot-shingle arrays (distinct by
         // construction), intersected per candidate pair — two id-keyed
-        // joins, no shingle-keyed expansion
-        val hotPerDoc = sh.join(hotShingles, Seq("shingle"), "left_semi")
+        // joins, no shingle-keyed expansion; the agg's input is the hot
+        // rows only
+        val hotPerDoc = flaggedP.where(col("hot"))
           .groupBy("id").agg(collect_list(col("shingle")).as("hs"))
-        commonRare
-          .join(hotPerDoc.select(col("id").as("ida"), col("hs").as("ha")), Seq("ida"), "left")
-          .join(hotPerDoc.select(col("id").as("idb"), col("hs").as("hb")), Seq("idb"), "left")
+        val hotPerDocP = if (eager) hotPerDoc.persist() else hotPerDoc
+        val c = commonRare
+          .join(hotPerDocP.select(col("id").as("ida"), col("hs").as("ha")), Seq("ida"), "left")
+          .join(hotPerDocP.select(col("id").as("idb"), col("hs").as("hb")), Seq("idb"), "left")
           .withColumn("common", col("common_rare") +
             when(col("ha").isNotNull && col("hb").isNotNull,
               size(array_intersect(col("ha"), col("hb"))).cast("long")).otherwise(lit(0L)))
           .select("ida", "idb", "common")
+        (c, Some((flaggedP, hotPerDocP)))
       }
     val lazyOut = common
       .join(sizes.toDF("ida", "sza"), "ida")
@@ -131,20 +163,20 @@ object Dedup {
       .select(col("ida"), col("idb"), round(col("jaccard"), 4).as("jaccard"))
     if (!eager) return lazyOut
     val out = lazyOut.persist()
-    out.count() // materialize before dropping the shingle cache
-    if (capped) {
+    out.count() // materialize before dropping the intermediates
+    hotPerDocOpt.foreach { case (flaggedP, hotPerDocP) =>
       // truncation visibility: a doc whose EVERY shingle is hot generates
-      // no candidate pairs at all — count and log them
-      val hotCounts = sh.join(hotShingles, Seq("shingle"), "left_semi")
-        .groupBy("id").agg(count(lit(1)).as("nhot"))
-      val allHot = sizes.join(hotCounts, "id")
-        .filter(col("nhot") === col("sz")).count()
+      // no candidate pairs at all — count and log them (one job over the
+      // tiny persisted hot-array frame joined to the narrow sizes)
+      val allHot = hotPerDocP.join(sizes, "id")
+        .filter(size(col("hs")) === col("sz")).count()
       if (allHot > 0)
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
           s"ngramJaccardPairs: $allHot doc(s) have only hot shingles " +
             s"(df > $hotShingleDfCap) and generated no candidate pairs")
+      flaggedP.unpersist(); hotPerDocP.unpersist()
     }
-    sh.unpersist()
+    sets.unpersist()
     out
   }
 
@@ -212,7 +244,7 @@ object Dedup {
                         n: Int = 5, idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame = {
     val sh = shingles(df, n, idCol, textCol)
-      .withColumn("sh", fnv1a64Udf(col("shingle")))
+      .select(col("id"), fnv1a64Udf(col("shingle")).as("sh"))
     val agg = udaf(new MinHashAgg(numHashes, seed))
     sh.groupBy("id").agg(agg(col("sh")).as("sig"))
   }
@@ -224,10 +256,22 @@ object Dedup {
     * any quadratic step. */
   def minhashLshPairs(df: DataFrame, threshold: Double, numHashes: Int = 64,
                       bands: Int = 16, seed: Long = 42L, n: Int = 5,
-                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                      idCol: String = "doc_id", textCol: String = "text",
+                      eager: Boolean = true): DataFrame = {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
-    val sig = minhashSignatures(df, numHashes, seed, n, idCol, textCol)
+    // the per-doc shingle arrays feed FOUR plan legs (signatures, both
+    // verify-join sides, sizes); with no exchange left to reuse after the
+    // shuffle-free distinct, persist them once in eager mode instead of
+    // re-tokenizing per leg (eager = false composes lazily and recomputes)
+    val sets0 = shingleSets(df, n, idCol, textCol)
+    val sets = if (eager) sets0.persist() else sets0
+    val shStr = sets.select(col("id"), explode(col("set")).as("shingle"))
+    val sig = {
+      val sh = shStr.select(col("id"), fnv1a64Udf(col("shingle")).as("sh"))
+      val agg = udaf(new MinHashAgg(numHashes, seed))
+      sh.groupBy("id").agg(agg(col("sh")).as("sig"))
+    }
     // band key = FNV-1a of the band's signature values joined as decimal
     // strings: an 8-byte shuffle key (not the 4-long slice), deterministic
     // across runs, and — unlike Spark's Murmur3 `hash()` — replayable in
@@ -243,21 +287,28 @@ object Dedup {
       .where(col("ida") < col("idb"))
       .select("ida", "idb").distinct()
 
-    // verify candidates exactly: join back to shingle sets
-    val sh = shingles(df, n, idCol, textCol)
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    // verify candidates exactly: join back to the hashed shingle sets
+    // (8-byte keys in both the equi-join and the overlap count); sizes
+    // come shuffle-free from the per-doc arrays
+    val sh = shStr.select(col("id"), xxhash64(col("shingle")).as("shingle"))
+    val sizes = sets.select(col("id"), col("sz"))
     val common = candidates
       .join(sh.toDF("ida", "shingle"), "ida")
       .join(sh.toDF("idb", "shingle2"), "idb")
       .where(col("shingle") === col("shingle2"))
       .groupBy("ida", "idb").agg(count(lit(1)).as("common"))
-    common
+    val lazyOut = common
       .join(sizes.toDF("ida", "sza"), "ida")
       .join(sizes.toDF("idb", "szb"), "idb")
       .withColumn("jaccard",
         col("common") * lit(1.0) / (col("sza") + col("szb") - col("common")))
       .where(col("jaccard") >= threshold)
       .select(col("ida"), col("idb"), round(col("jaccard"), 4).as("jaccard"))
+    if (!eager) return lazyOut
+    val out = lazyOut.persist()
+    out.count() // materialize before dropping the shingle-set cache
+    sets.unpersist()
+    out
   }
 
   /** SimHash aggregator: 64-bit fingerprint from per-token 64-bit hashes —
