@@ -1,6 +1,6 @@
 package graft.gate
 
-import graft.pipeline.{AnnIndex, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{AnnIndex, Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -496,6 +496,113 @@ object PipelineGate {
               |  SELECT ida, idb, list_cosine_similarity(ea.v, eb.v) AS cos
               |  FROM cand JOIN e ea ON ea.vec_id = ida JOIN e eb ON eb.vec_id = idb)
               |WHERE cos >= 0.35 ORDER BY ida, idb""".stripMargin)),
+
+    // Benchmark decontamination (round 4): the deterministic doc_id%25==0
+    // slice plays the benchmark/eval set, the rest is the corpus; any
+    // corpus doc sharing an 8-gram with the benchmark is flagged. The
+    // oracle replays shingling on both sides, the overlap join, and the
+    // per-doc contamination fraction.
+    GateQuery("decontam_shingles",
+      (s, d) => {
+        val dd = docs(s, d)
+        Curation.decontaminate(
+          dd.filter(col("doc_id") % 25 =!= 0),
+          dd.filter(col("doc_id") % 25 === 0), n = 8)
+          .orderBy("doc_id")
+      },
+      Some("""WITH arr AS (
+             |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS w
+             |  FROM documents
+             |), sh AS (
+             |  SELECT DISTINCT doc_id,
+             |    unnest(list_transform(generate_series(1, len(w) - 7),
+             |      i -> array_to_string(list_slice(w, i, i + 7), ' '))) AS g
+             |  FROM arr WHERE doc_id % 25 <> 0 AND len(w) >= 8
+             |), bsh AS (
+             |  SELECT DISTINCT
+             |    unnest(list_transform(generate_series(1, len(w) - 7),
+             |      i -> array_to_string(list_slice(w, i, i + 7), ' '))) AS g
+             |  FROM arr WHERE doc_id % 25 = 0 AND len(w) >= 8
+             |), sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+             |), hits AS (
+             |  SELECT doc_id, count(*) AS c FROM sh JOIN bsh USING (g) GROUP BY doc_id
+             |)
+             |SELECT s.doc_id, s.sz AS n_shingles,
+             |  coalesce(h.c, 0) AS n_contaminated,
+             |  round(coalesce(h.c, 0) * 1.0 / s.sz, 4) AS contam_frac,
+             |  coalesce(h.c, 0) > 0 AS contaminated
+             |FROM sizes s LEFT JOIN hits h USING (doc_id)
+             |ORDER BY s.doc_id""".stripMargin)),
+
+    // Composite C4/Gopher quality decision (round 4): token-count band,
+    // mean-word-length band, stopword floor, top-word and dup-token
+    // repetition caps — every signal exact-integer-ratio math replayed
+    // in SQL, the verdict string built by the same fixed rule order.
+    GateQuery("quality_filter",
+      (s, d) => Curation.qualityFilter(docs(s, d)).orderBy("doc_id"),
+      Some("""WITH w AS (
+             |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS w
+             |  FROM documents
+             |), base AS (SELECT doc_id, w, len(w) AS n FROM w
+             |), tok AS (SELECT doc_id, unnest(w) AS t FROM base
+             |), wc AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t
+             |), topw AS (SELECT doc_id, max(c) AS c FROM wc GROUP BY doc_id
+             |), sig AS (
+             |  SELECT base.doc_id, n,
+             |    CASE WHEN n > 0 THEN round(list_sum(list_transform(w, t -> length(t))) * 1.0 / n, 4) END AS mean_word_len,
+             |    CASE WHEN n > 0 THEN round(len(list_filter(w, t -> t IN ('the','a','of','and','to','in','is','it','that','for'))) * 1.0 / n, 4) END AS stop_ratio,
+             |    CASE WHEN n > 0 THEN round(topw.c * 1.0 / n, 4) END AS top_word_frac,
+             |    CASE WHEN n > 0 THEN round((n - len(list_distinct(w))) * 1.0 / n, 4) END AS dup_frac
+             |  FROM base LEFT JOIN topw USING (doc_id)
+             |), r AS (
+             |  SELECT *, list_filter([
+             |    CASE WHEN n < 50 THEN 'too_few_tokens' END,
+             |    CASE WHEN n > 100000 THEN 'too_many_tokens' END,
+             |    CASE WHEN n > 0 AND (mean_word_len < 3.0 OR mean_word_len > 10.0) THEN 'word_len' END,
+             |    CASE WHEN n > 0 AND stop_ratio < 0.02 THEN 'low_stopword' END,
+             |    CASE WHEN n > 0 AND top_word_frac > 0.10 THEN 'top_word_rep' END,
+             |    CASE WHEN n > 0 AND dup_frac > 0.55 THEN 'dup_tokens' END
+             |  ], x -> x IS NOT NULL) AS reasons
+             |  FROM sig
+             |)
+             |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, mean_word_len,
+             |  stop_ratio, top_word_frac, dup_frac,
+             |  len(reasons) = 0 AS pass,
+             |  coalesce(array_to_string(reasons, ','), '') AS fail_reasons
+             |FROM r ORDER BY doc_id""".stripMargin)),
+
+    // PII masking (round 4): the corpus text is augmented with
+    // deterministic doc_id-derived PII (an email, an IP, a phone shape)
+    // so the masking chain is actually exercised; the oracle applies the
+    // SAME augmentation and the same ordered regexp_replace chain,
+    // counting matches on the progressively-masked text like the engine.
+    GateQuery("pii_mask",
+      (s, d) => Curation.maskPii(
+        docs(s, d).withColumn("text", concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com or 555-"),
+          lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+          lit("-1234 at 10.0."), (col("doc_id") % 256).cast("string"), lit(".7"))))
+        .orderBy("doc_id"),
+      Some {
+        val steps = Curation.PiiPatterns.zipWithIndex.map {
+          case ((pat, rep), i) =>
+            s"""s${i + 1} AS (
+               |  SELECT doc_id,
+               |    regexp_replace(t, '$pat', '$rep', 'g') AS t,
+               |    c + len(regexp_extract_all(t, '$pat')) AS c
+               |  FROM s$i)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH aug AS (
+           |  SELECT doc_id,
+           |    text || ' contact user' || doc_id || '@example.com or 555-' ||
+           |    lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-1234 at 10.0.' ||
+           |    (doc_id % 256)::VARCHAR || '.7' AS text
+           |  FROM documents
+           |), s0 AS (SELECT doc_id, text AS t, 0::BIGINT AS c FROM aug),
+           |$steps
+           |SELECT doc_id, t AS masked_text, c AS n_masked
+           |FROM s${Curation.PiiPatterns.size} ORDER BY doc_id""".stripMargin
+      }),
 
     GateQuery("multimodal_decode",
       (s, d) => Multimodal.decode(Multimodal.asMedia(docs(s, d)))

@@ -1,0 +1,144 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for a training-data pipeline: benchmark
+  * decontamination, a composite C4/Gopher-style quality filter, and PII
+  * masking. All three are designed for the 100 TB shape: decontamination
+  * broadcasts the (small) benchmark shingle set so the corpus side stays
+  * a narrow scan + one ≤1-row-per-doc aggregation; the filter and the
+  * masker are pure column expressions (whole-stage codegen, zero
+  * shuffle). */
+object Curation {
+
+  // ---------------------------------------------------------------- decontamination
+
+  /** Benchmark decontamination: flag corpus documents sharing any word
+    * n-gram with a benchmark/eval set (the standard guard against
+    * train-test leakage in a training corpus). One row per corpus doc
+    * with ≥ n tokens: (id, n_shingles, n_contaminated, contam_frac,
+    * contaminated).
+    *
+    * Scale shape: benchmark sets are tiny next to a 100 TB corpus, so
+    * the benchmark's distinct shingles are hashed to 8-byte keys and
+    * BROADCAST — the corpus-side explode joins them map-side with no
+    * exchange; the only shuffles are the per-doc hit count (map-side
+    * partial aggregation → ≤ 1 row per contaminated doc) and the final
+    * id-keyed join of that small hit table back onto the per-doc shingle
+    * counts. Shingle dedup is per-document `array_distinct` inside the
+    * row (shuffle-free, see Dedup.shingleSets). */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int = 8,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val benchSh = Dedup.shingles(benchmark, n, idCol, textCol)
+      .select(xxhash64(col("shingle")).as("sh")).distinct()
+    val sets = Dedup.shingleSets(corpus, n, idCol, textCol)
+    val hits = sets
+      .select(col("id"), explode(col("set")).as("shingle"))
+      .select(col("id"), xxhash64(col("shingle")).as("sh"))
+      .join(broadcast(benchSh), "sh")
+      .groupBy("id").agg(count(lit(1)).as("n_contaminated"))
+    sets.select(col("id"), col("sz").as("n_shingles"))
+      .join(hits, Seq("id"), "left")
+      .na.fill(0L, Seq("n_contaminated"))
+      .select(
+        col("id").as(idCol),
+        col("n_shingles"),
+        col("n_contaminated"),
+        round(col("n_contaminated") * lit(1.0) / col("n_shingles"), 4).as("contam_frac"),
+        (col("n_contaminated") > 0).as("contaminated"))
+  }
+
+  // ---------------------------------------------------------------- quality filter
+
+  /** Thresholds for the composite quality filter. Defaults follow the
+    * C4 / Gopher published heuristics (token-count band, mean word
+    * length band, must contain function words, repetition caps). */
+  final case class QualityConfig(
+      minTokens: Long = 50,
+      maxTokens: Long = 100000,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0,
+      minStopRatio: Double = 0.02,
+      maxTopWordFrac: Double = 0.10,
+      maxDupFrac: Double = 0.55)
+
+  /** Composite C4/Gopher-style quality decision, one row per doc:
+    * all the signals, `pass`, and `fail_reasons` (comma-joined rule
+    * names in fixed rule order; empty string when passing).
+    *
+    * Every signal is per-row column math over the doc's own token array
+    * (exact-integer sums, one IEEE division each — reproducible
+    * bit-identically in the SQL oracle); no shuffle, no UDF: at 100 TB
+    * this is a narrow map fused into the scan. */
+  def qualityFilter(df: DataFrame, cfg: QualityConfig = QualityConfig(),
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val base = df
+      .select(col(idCol), TextAnalysis.simpleToks(col(textCol)).as("w"))
+      .withColumn("n", size(col("w")).cast("long"))
+      .withColumn("sw", sort_array(col("w")))
+    val (_, topWc) = TextAnalysis.topRun(col("sw"), col("n"))
+    val swLit = typedlit(TextAnalysis.EnglishStopwords)
+    val signals = base
+      .withColumn("mean_word_len",
+        when(col("n") > 0, round(
+          aggregate(col("w"), lit(0L), (acc, t) => acc + length(t)) * lit(1.0) / col("n"), 4)))
+      .withColumn("stop_ratio",
+        when(col("n") > 0, round(
+          size(filter(col("w"), t => array_contains(swLit, t))) * lit(1.0) / col("n"), 4)))
+      .withColumn("top_word_frac",
+        when(col("n") > 0, round(topWc * lit(1.0) / col("n"), 4)))
+      .withColumn("dup_frac",
+        when(col("n") > 0, round(
+          (col("n") - size(array_distinct(col("w")))) * lit(1.0) / col("n"), 4)))
+    // rule order is the artifact's contract: reasons list in this order
+    val rules: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      "too_few_tokens" -> (col("n") < cfg.minTokens),
+      "too_many_tokens" -> (col("n") > cfg.maxTokens),
+      "word_len" -> (col("n") > 0 &&
+        (col("mean_word_len") < cfg.minMeanWordLen || col("mean_word_len") > cfg.maxMeanWordLen)),
+      "low_stopword" -> (col("n") > 0 && col("stop_ratio") < cfg.minStopRatio),
+      "top_word_rep" -> (col("n") > 0 && col("top_word_frac") > cfg.maxTopWordFrac),
+      "dup_tokens" -> (col("n") > 0 && col("dup_frac") > cfg.maxDupFrac))
+    val reasons = array_compact(array(rules.map { case (name, cond) =>
+      when(cond, lit(name)).otherwise(lit(null).cast("string"))
+    }: _*))
+    signals
+      .withColumn("fail_reasons", array_join(reasons, ","))
+      .withColumn("pass", size(reasons) === 0)
+      .select(col(idCol), col("n").as("n_tokens"), col("mean_word_len"),
+        col("stop_ratio"), col("top_word_frac"), col("dup_frac"),
+        col("pass"), col("fail_reasons"))
+  }
+
+  // ---------------------------------------------------------------- PII masking
+
+  /** (pattern, replacement) chain applied in order. Patterns restrict to
+    * the regex subset whose match semantics agree between Java's
+    * leftmost-greedy engine and RE2-style leftmost-longest (character
+    * classes + bounded repeats, no alternation whose branches overlap) —
+    * the DuckDB gate oracle replays the same chain. Email first (emails
+    * contain digits and dots), then the dotted/dashed numeric shapes. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
+    "\\b\\d{3}-\\d{2}-\\d{4}\\b" -> "<SSN>",
+    "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b" -> "<PHONE>")
+
+  /** Mask emails / IPv4s / SSN-shaped / phone-shaped substrings with
+    * typed placeholders and count the redactions: (id, masked_text,
+    * n_masked). Pure `regexp_replace`/`regexp_count` column chain —
+    * narrow, codegen'd, zero shuffle at any scale. */
+  def maskPii(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val masked = PiiPatterns.foldLeft(col(textCol)) { case (c, (pat, rep)) =>
+      regexp_replace(c, pat, rep)
+    }
+    // count on the progressively-masked text so overlapping pattern
+    // classes (an IP inside an email) are counted once, like the mask
+    val counts = PiiPatterns.scanLeft(col(textCol)) { case (c, (pat, rep)) =>
+      regexp_replace(c, pat, rep)
+    }.init.zip(PiiPatterns).map { case (c, (pat, _)) => regexp_count(c, lit(pat)) }
+    df.select(col(idCol), masked.as("masked_text"),
+      counts.reduce(_ + _).cast("long").as("n_masked"))
+  }
+}

@@ -50,8 +50,8 @@ object Dedup {
     * over the exploded stream either). At corpus scale this removes the
     * first full-stream exchange every shingle-based operator used to
     * pay. */
-  private def shingleSets(df: DataFrame, n: Int, idCol: String,
-                          textCol: String): DataFrame = {
+  private[pipeline] def shingleSets(df: DataFrame, n: Int, idCol: String,
+                                    textCol: String): DataFrame = {
     val toks = tokensCol(col(textCol))
     df.select(col(idCol).as("id"), toks.as("w"))
       .where(size(col("w")) >= n)

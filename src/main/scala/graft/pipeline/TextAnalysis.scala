@@ -67,21 +67,27 @@ object TextAnalysis {
     * shuffle, no UDF: at 100 TB this runs as a narrow map over the scan.
     * Frequencies come from run lengths of the per-doc sorted token
     * array (sort_array + run boundaries), not a groupBy. */
+  /** Run-start positions (1-based) in a SORTED array s of length n, then
+    * run lengths from consecutive starts; max run = top item's count and
+    * the FIRST max (array_position) is the lexicographically smallest.
+    * Shared by repetitionStats and Curation.qualityFilter. */
+  private[pipeline] def topRun(s: Column, n: Column): (Column, Column) = {
+    val starts = filter(sequence(lit(1), n.cast("int")),
+      i => (i === 1) || (element_at(s, i) =!= element_at(s, i - 1)))
+    val runs = zip_with(starts,
+      concat(slice(starts, lit(2), size(starts)), array(n.cast("int") + 1)),
+      (a, b) => b - a)
+    val topCount = array_max(runs)
+    val topItem = element_at(s, element_at(starts, array_position(runs, topCount).cast("int")))
+    (topItem, topCount)
+  }
+
+  /** The dedup-family tokenization as a reusable column (lower, non-alnum
+    * split) — identical to the private `toks` so Curation shares it. */
+  private[pipeline] def simpleToks(text: Column): Column = toks(text)
+
   def repetitionStats(df: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
-    // run-start positions (1-based) in a sorted array s, then run
-    // lengths from consecutive starts; max run = top item's count and
-    // the FIRST max (array_position) is the lexicographically smallest
-    def topRun(s: Column, n: Column): (Column, Column) = {
-      val starts = filter(sequence(lit(1), n.cast("int")),
-        i => (i === 1) || (element_at(s, i) =!= element_at(s, i - 1)))
-      val runs = zip_with(starts,
-        concat(slice(starts, lit(2), size(starts)), array(n.cast("int") + 1)),
-        (a, b) => b - a)
-      val topCount = array_max(runs)
-      val topItem = element_at(s, element_at(starts, array_position(runs, topCount).cast("int")))
-      (topItem, topCount)
-    }
     val base = df.select(col(idCol), toks(col(textCol)).as("w"))
       .withColumn("n", size(col("w")).cast("long"))
       .withColumn("sw", sort_array(col("w")))

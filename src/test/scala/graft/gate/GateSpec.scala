@@ -48,9 +48,13 @@ class GateSpec extends SparkSuite {
           "planes", "qsig", "q", "e", "bands", "bb", "cand",
           // ann_ivf oracle CTEs (the 8 unrolled Lloyd iterations are
           // a0..a7 / c0..c8; the FROM-regex strips the digit)
-          "qd", "samp", "km", "sq", "acell", "pc", "qe") --
-        // iteration CTEs: a<j>, c<j>
-        froms.filter(f => "^[ac]\\d*$".r.matches(f))
+          "qd", "samp", "km", "sq", "acell", "pc", "qe",
+          // doc_chunks / doc_repetition oracle CTEs
+          "starts", "bg", "bc",
+          // curation oracle CTEs (decontam / quality_filter / pii_mask)
+          "bsh", "hits", "base", "tok", "wc", "topw", "r", "aug") --
+        // iteration CTEs: a<j>, c<j>, pii chain s<j>
+        froms.filter(f => "^[acs]\\d*$".r.matches(f))
       assert(unknown.isEmpty, s"oracle references unknown tables: $unknown")
     }
   }

@@ -1,0 +1,94 @@
+package graft.pipeline
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Unit checks for the curation operators (decontamination, quality
+  * filter, PII masking) on hand-built frames plus the driver's sf0.001
+  * documents — behaviors the DuckDB gate can't probe directly (config
+  * overrides, empty benchmark, placement of the mask). */
+class CurationSpec extends SparkSuite {
+
+  private lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  private def df(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("decontaminate flags exactly the docs sharing an n-gram with the benchmark") {
+    val corpus = df(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      2L -> "one two three four five six seven eight nine ten",
+      3L -> "tiny")
+    val bench = df(10L -> "xx alpha beta gamma delta epsilon zeta eta theta yy")
+    val out = Curation.decontaminate(corpus, bench, n = 8).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(out === Map(1L -> true, 2L -> false)) // doc 3 has < 8 tokens → no row
+    // empty benchmark → nothing contaminated, every eligible doc still reported
+    val clean = Curation.decontaminate(corpus, bench.limit(0), n = 8)
+    assert(clean.filter(col("contaminated")).count() === 0)
+    assert(clean.count() === 2)
+  }
+
+  test("decontaminate contam_frac counts distinct overlapping shingles") {
+    val corpus = df(1L -> "a b c d e a b c d e a b c d e")
+    val bench = df(10L -> "a b c d e a b c d e")
+    val row = Curation.decontaminate(corpus, bench, n = 5).head()
+    // 15 tokens, 11 windows but only 5 DISTINCT 5-gram rotations; all 5 hit
+    assert(row.getLong(1) === 5L && row.getLong(2) === 5L)
+    assert(row.getDouble(3) === 1.0)
+  }
+
+  test("qualityFilter applies each rule with its reason in fixed order") {
+    val many = ("tok " * 60).trim                      // 60 tokens, all same
+    val out = Curation.qualityFilter(
+      df(1L -> "short text", 2L -> many),
+      Curation.QualityConfig(minTokens = 5)).collect()
+      .map(r => r.getLong(0) -> r.getString(7)).toMap
+    // doc 1: 2 tokens, each unique → top word frac 0.5 > 0.10 fires too
+    assert(out(1L) === "too_few_tokens,low_stopword,top_word_rep")
+    // doc 2: 60 identical 3-char tokens → top_word_rep AND dup_tokens, rule order preserved
+    assert(out(2L) === "low_stopword,top_word_rep,dup_tokens")
+  }
+
+  test("qualityFilter config overrides move the thresholds") {
+    val text = "the cat sat on the mat and the dog ran to the big red barn " * 4
+    // mean word length of this text is 2.93 — relax the floor too
+    val relaxed = Curation.qualityFilter(df(1L -> text.trim),
+      Curation.QualityConfig(minTokens = 1, minMeanWordLen = 2.0,
+        maxTopWordFrac = 1.0, maxDupFrac = 1.0)).head()
+    assert(relaxed.getBoolean(6), relaxed.getString(7))
+    val strict = Curation.qualityFilter(df(1L -> text.trim),
+      Curation.QualityConfig(minTokens = 1000)).head()
+    assert(!strict.getBoolean(6))
+    assert(strict.getString(7).contains("too_few_tokens"))
+  }
+
+  test("maskPii masks all four shapes and counts each once") {
+    val out = Curation.maskPii(df(
+      1L -> "mail a.b+c@ex-ample.org then 192.168.0.1 ssn 123-45-6789 tel 555-123-4567",
+      2L -> "clean text with no pii at all")).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L)._1 === "mail <EMAIL> then <IP> ssn <SSN> tel <PHONE>")
+    assert(out(1L)._2 === 4L)
+    assert(out(2L) === (("clean text with no pii at all", 0L)))
+  }
+
+  test("maskPii: IP inside an email is masked (and counted) once, as email") {
+    val out = Curation.maskPii(df(1L -> "x 10.0.0.7@example.com y")).head()
+    assert(out.getString(1) === "x <EMAIL> y")
+    assert(out.getLong(2) === 1L)
+  }
+
+  test("curation runs over the sf0.001 corpus without shuffle surprises") {
+    val q = Curation.qualityFilter(docs)
+    assert(q.count() === docs.count())
+    // pure column math → no exchange anywhere in the plan
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    val m = Curation.maskPii(docs)
+    assert(!m.queryExecution.executedPlan.toString.contains("Exchange"))
+    assert(m.count() === docs.count())
+  }
+}
