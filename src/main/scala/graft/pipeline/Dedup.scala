@@ -1,7 +1,6 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 /** Large-scale training-data deduplication operators over a document
@@ -30,6 +29,18 @@ object Dedup {
   private def tokensCol(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
 
+  /** Ensure at least the session's default parallelism for the CPU-heavy
+    * per-row stages (tokenize / shingle / hash): a local test input often
+    * arrives as ONE parquet file — one partition — which serializes the
+    * whole narrow pipeline onto one core (measured: 6 plan legs × 3-20 s
+    * single-task stages on the sf0.1 gate). At real scale the input scan
+    * already carries ≥ parallelism partitions and this is a no-op — no
+    * shuffle is added. */
+  private def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** Exact dedup: one row per distinct text with the kept (min) id and the
     * duplicate count. Groups by (xxhash64(text), length(text)) — NOT the
     * text itself: at corpus scale the group key is what gets shuffled, and
@@ -53,11 +64,16 @@ object Dedup {
   private[pipeline] def shingleSets(df: DataFrame, n: Int, idCol: String,
                                     textCol: String): DataFrame = {
     val toks = tokensCol(col(textCol))
-    df.select(col(idCol).as("id"), toks.as("w"))
+    spread(df).select(col(idCol).as("id"), toks.as("w"))
       .where(size(col("w")) >= n)
-      .select(col("id"), array_distinct(
+      // the when() guard repeats the filter INSIDE the expression: the
+      // optimizer may evaluate a projection on rows the filter would drop
+      // (e.g. constant folding over a local relation reordered around the
+      // spread exchange), and sequence(0, negative) throws
+      .select(col("id"), when(size(col("w")) >= n, array_distinct(
         transform(sequence(lit(0), size(col("w")) - n),
-          i => concat_ws(" ", slice(col("w"), i + lit(1), lit(n))))).as("set"))
+          i => concat_ws(" ", slice(col("w"), i + lit(1), lit(n))))))
+        .otherwise(array().cast("array<string>")).as("set"))
       .withColumn("sz", size(col("set")).cast("long"))
   }
 
@@ -113,6 +129,11 @@ object Dedup {
     // df agg, rare self-join + pair agg, hot-rows-only per-doc agg.
     val sets0 = shingleSets(df, n, idCol, textCol)
     val sets = if (eager) sets0.persist() else sets0
+    // materialize the cache BEFORE the multi-leg plan below: its legs
+    // launch concurrent stages, and a cold cache makes each of them
+    // recompute the whole tokenize+shingle pipeline (measured 6× on the
+    // sf0.1 gate) instead of reading the one materialized copy
+    if (eager) sets.count()
     val sh = sets.select(col("id"), explode(col("set")).as("s"))
       .select(col("id"), xxhash64(col("s")).as("shingle"))
     val sizes = sets.select(col("id"), col("sz"))
@@ -180,51 +201,58 @@ object Dedup {
     out
   }
 
-  /** MinHash signature aggregator: per doc, elementwise min over the
-    * shingle hashes under `numHashes` independent affine hash functions
-    * h_i(x) = (a_i*x + b_i) mod p  (p = 2^61 - 1).
+  /** One affine MinHash evaluation h(x) = (a*x + b) mod p (p = 2^61-1),
+    * with x interpreted UNSIGNED (remainderUnsigned) so SQL's nonnegative
+    * 64-bit value reduces identically; 61×61-bit multiply folded mod p
+    * via Math.multiplyHigh. */
+  private def affineHash(a: Long, b: Long, x: Long): Long = {
+    val P = MinHashP
+    val xm = java.lang.Long.remainderUnsigned(x, P)
+    val hi = java.lang.Math.multiplyHigh(a, xm)
+    val lo = a * xm
+    // fold 128-bit product mod 2^61-1: (lo & P) + (lo >>> 61 | hi << 3)
+    var res = (lo & P) + ((lo >>> 61) | (hi << 3))
+    while (res >= P) res -= P
+    res = res + b
+    if (res >= P) res -= P
+    res
+  }
+
+  /** Per-doc MinHash signature over the doc's DISTINCT shingle array:
+    * elementwise min over the shingle hashes under `numHashes`
+    * independent affine hash functions h_i(x) = (a_i*x + b_i) mod p
+    * (p = 2^61 - 1).
+    *
+    * A NARROW per-row UDF, not an aggregator: the distinct shingles
+    * already sit inside each document's row (shingleSets), so the
+    * signature needs no groupBy — no shuffle, no aggregation buffer. (An
+    * earlier Aggregator paid per-row java-serialization of its 64-long
+    * buffer through SortAggregate and cost 15-40 s on the sf0.1 gate;
+    * this form is a tight per-doc loop inside one codegen stage.)
     *
     * Coefficients are derived from FNV-1a of `"mh-a-$seed-$i"` /
     * `"mh-b-$seed-$i"` (unsigned mod into range) rather than a JVM RNG:
     * every arithmetic step of the whole MinHash+LSH pipeline is then
     * expressible in portable SQL (the DuckDB gate oracle replays
-    * signature → banding → candidates → exact-Jaccard verify end to end),
-    * with the same independence properties as RNG-drawn affine
-    * coefficients. The shingle hash `x` is interpreted UNSIGNED
-    * (remainderUnsigned) so SQL's nonnegative 64-bit value reduces
-    * identically. */
-  final class MinHashAgg(numHashes: Int, seed: Long)
-      extends Aggregator[Long, Array[Long], Seq[Long]] {
-    private val P = MinHashP
-    @transient private lazy val coeffs: Array[(Long, Long)] =
-      minhashCoeffs(numHashes, seed)
-    private def h(i: Int, x: Long): Long = {
-      val (a, b) = coeffs(i)
-      // multiply mod 2^61-1 via Math.multiplyHigh-free 128-bit-ish split
-      val xm = java.lang.Long.remainderUnsigned(x, P)
-      val hi = java.lang.Math.multiplyHigh(a, xm)
-      val lo = a * xm
-      // fold 128-bit product mod 2^61-1: (lo & P) + (lo >>> 61 | hi << 3)
-      var res = (lo & P) + ((lo >>> 61) | (hi << 3))
-      while (res >= P) res -= P
-      res = res + b
-      if (res >= P) res -= P
-      res
-    }
-    def zero: Array[Long] = Array.fill(numHashes)(Long.MaxValue)
-    def reduce(buf: Array[Long], x: Long): Array[Long] = {
-      var i = 0
-      while (i < numHashes) { val v = h(i, x); if (v < buf(i)) buf(i) = v; i += 1 }
-      buf
-    }
-    def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
-      var i = 0
-      while (i < numHashes) { if (y(i) < x(i)) x(i) = y(i); i += 1 }
-      x
-    }
-    def finish(buf: Array[Long]): Seq[Long] = buf.toSeq
-    def bufferEncoder = org.apache.spark.sql.Encoders.javaSerialization[Array[Long]]
-    def outputEncoder = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+    * signature → banding → candidates → exact-Jaccard verify end to
+    * end), with the same independence properties as RNG-drawn affine
+    * coefficients. */
+  private def minhashSigUdf(numHashes: Int, seed: Long) = {
+    val coeffs = minhashCoeffs(numHashes, seed) // tiny; serialized in closure
+    udf((shingles: Seq[String]) => {
+      val buf = Array.fill(numHashes)(Long.MaxValue)
+      shingles.foreach { s =>
+        val x = fnv1a64(s)
+        var i = 0
+        while (i < numHashes) {
+          val (a, b) = coeffs(i)
+          val v = affineHash(a, b, x)
+          if (v < buf(i)) buf(i) = v
+          i += 1
+        }
+      }
+      buf.toSeq
+    })
   }
 
   /** Mersenne prime 2^61 − 1 — the MinHash hash field. */
@@ -239,15 +267,13 @@ object Dedup {
       (a, b)
     }
 
-  /** MinHash signatures: (id, sig: array<long>). */
+  /** MinHash signatures: (id, sig: array<long>) — a narrow per-doc map
+    * over the in-row distinct shingle set (no shuffle at any scale). */
   def minhashSignatures(df: DataFrame, numHashes: Int = 64, seed: Long = 42L,
                         n: Int = 5, idCol: String = "doc_id",
-                        textCol: String = "text"): DataFrame = {
-    val sh = shingles(df, n, idCol, textCol)
-      .select(col("id"), fnv1a64Udf(col("shingle")).as("sh"))
-    val agg = udaf(new MinHashAgg(numHashes, seed))
-    sh.groupBy("id").agg(agg(col("sh")).as("sig"))
-  }
+                        textCol: String = "text"): DataFrame =
+    shingleSets(df, n, idCol, textCol)
+      .select(col("id"), minhashSigUdf(numHashes, seed)(col("set")).as("sig"))
 
   /** MinHash + LSH near-dup pairs: band the signatures (bands × rowsPerBand
     * = numHashes), bucket-join on (band, bandHash) to get candidates, then
@@ -266,12 +292,12 @@ object Dedup {
     // re-tokenizing per leg (eager = false composes lazily and recomputes)
     val sets0 = shingleSets(df, n, idCol, textCol)
     val sets = if (eager) sets0.persist() else sets0
+    // materialize before the multi-leg plan (same reason as
+    // ngramJaccardPairs: cold-cache legs each recompute the pipeline)
+    if (eager) sets.count()
     val shStr = sets.select(col("id"), explode(col("set")).as("shingle"))
-    val sig = {
-      val sh = shStr.select(col("id"), fnv1a64Udf(col("shingle")).as("sh"))
-      val agg = udaf(new MinHashAgg(numHashes, seed))
-      sh.groupBy("id").agg(agg(col("sh")).as("sig"))
-    }
+    val sig = sets.select(col("id"),
+      minhashSigUdf(numHashes, seed)(col("set")).as("sig"))
     // band key = FNV-1a of the band's signature values joined as decimal
     // strings: an 8-byte shuffle key (not the 4-long slice), deterministic
     // across runs, and — unlike Spark's Murmur3 `hash()` — replayable in
@@ -311,39 +337,28 @@ object Dedup {
     out
   }
 
-  /** SimHash aggregator: 64-bit fingerprint from per-token 64-bit hashes —
+  /** Per-doc SimHash: 64-bit fingerprint from per-token 64-bit hashes —
     * bit b of the fingerprint is 1 when the sum of ±1 votes over tokens'
-    * bit b is positive. */
-  final class SimHashAgg extends Aggregator[Long, Array[Int], Long] {
-    def zero: Array[Int] = new Array[Int](64)
-    def reduce(buf: Array[Int], x: Long): Array[Int] = {
+    * bit b is positive. Every vote for a document comes from its own
+    * token array, so this is a narrow per-row map (no groupBy — the same
+    * no-shuffle shape as minhashSignatures; the Aggregator it replaces
+    * paid per-row java-serialization of its vote buffer). */
+  private val simhashUdf = udf((tokens: Seq[String]) => {
+    val votes = new Array[Int](64)
+    tokens.foreach { t =>
+      val x = fnv1a64(t)
       var b = 0
-      while (b < 64) { buf(b) += (if (((x >>> b) & 1L) == 1L) 1 else -1); b += 1 }
-      buf
+      while (b < 64) { votes(b) += (if (((x >>> b) & 1L) == 1L) 1 else -1); b += 1 }
     }
-    def merge(x: Array[Int], y: Array[Int]): Array[Int] = {
-      var b = 0
-      while (b < 64) { x(b) += y(b); b += 1 }
-      x
-    }
-    def finish(buf: Array[Int]): Long = {
-      var f = 0L
-      var b = 0
-      while (b < 64) { if (buf(b) > 0) f |= (1L << b); b += 1 }
-      f
-    }
-    def bufferEncoder = org.apache.spark.sql.Encoders.javaSerialization[Array[Int]]
-    def outputEncoder = org.apache.spark.sql.Encoders.scalaLong
-  }
+    var f = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) f |= (1L << b); b += 1 }
+    f
+  })
 
   /** SimHash fingerprints: (id, simhash). */
-  def simhash(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
-      explode(tokensCol(col(textCol))).as("tok"))
-      .withColumn("th", fnv1a64Udf(col("tok")))
-    val agg = udaf(new SimHashAgg)
-    toks.groupBy("id").agg(agg(col("th")).as("simhash"))
-  }
+  def simhash(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    spread(df).select(col(idCol).as("id"), simhashUdf(tokensCol(col(textCol))).as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist: block on the
     * 4 16-bit chunks (any pair within distance 3 shares at least one
