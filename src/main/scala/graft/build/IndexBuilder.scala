@@ -240,19 +240,24 @@ object IndexBuilder {
       .sortWithinPartitions("term", "docId")
       .write.mode("overwrite").parquet(s"$dir/postings")
 
-    // every in-memory view of the artifact is sentinel-free; the isNull
-    // count is metadata-cheap (pushdown + null-first term sort clusters
-    // sentinels, and they are rare to begin with)
+    // ONE post-write scan serves sentinels + termStats + sttf: the
+    // null-term group's df IS the empty-doc count, and sumTotalTermFreq
+    // folds over the tiny aggregated frame — the previous shape re-read
+    // the written postings once per statistic, adding two serial jobs to
+    // every build's floor
     val written = spark.read.parquet(s"$dir/postings")
-    val emptyDocs = written.filter(col("term").isNull).count()
     val postings = written.filter(col("term").isNotNull)
-    val termStats = postings.groupBy(col("term"))
+    val termStatsAll = written.groupBy(col("term"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
-    termStats.write.mode("overwrite").parquet(s"$dir/termstats")
-    // sumTotalTermFreq folds over the (tiny) termstats table; docCount
-    // needs only the corpus row count (cached by DocIds.assign)
-    val writtenStats = spark.read.parquet(s"$dir/termstats")
-    val sttfRow = writtenStats.agg(sum(col("cf"))).collect()(0)
+      .persist()
+    termStatsAll.filter(col("term").isNotNull)
+      .write.mode("overwrite").parquet(s"$dir/termstats")
+    val emptyDocs = termStatsAll.filter(col("term").isNull)
+      .select("df").collect().headOption.map(_.getLong(0)).getOrElse(0L)
+    val sttfRow = termStatsAll.filter(col("term").isNotNull)
+      .agg(sum(col("cf"))).collect()(0)
+    termStatsAll.unpersist()
+    // docCount needs only the corpus row count (cached by DocIds.assign)
     val docCount = corpusWithIds.count() - emptyDocs
     val stats =
       if (sttfRow.isNullAt(0) || docCount == 0L) CorpusStats(0L, 0L)

@@ -1,7 +1,6 @@
 package graft.corpus
 
-import org.apache.spark.TaskContext
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Dense docId assignment by stable (conv_id, turn_idx) ordering — the
@@ -52,21 +51,21 @@ object DocIds {
     counts.sortBy(_._1).foreach { case (pid, c) => offsets(pid + 1) = c }
     var i = 1
     while (i < offsets.length) { offsets(i) += offsets(i - 1); i += 1 }
-    val bOffsets = spark.sparkContext.broadcast(offsets)
-
-    val outSchema = org.apache.spark.sql.types.StructType(
-      org.apache.spark.sql.types.StructField("docId", org.apache.spark.sql.types.LongType, nullable = false)
-        +: parted.schema.fields)
-    val enc = org.apache.spark.sql.Encoders.row(outSchema)
-    val out = parted.mapPartitions { it =>
-      val pid = TaskContext.getPartitionId()
-      var next = bOffsets.value(pid)
-      it.map { row =>
-        val r = Row.fromSeq(next +: row.toSeq)
-        next += 1
-        r
-      }
-    }(enc)
+    // docId = offsets(pid) + index-within-partition, in COLUMN math:
+    // monotonically_increasing_id() is documented as pid·2^33 + row index
+    // within the partition, and the scan below reads the FIXED cached
+    // layout of `parted`, so splitting it back apart and adding the
+    // partition's prefix-sum offset reproduces exactly the dense ids the
+    // old mapPartitions pass minted — without its per-row Row.fromSeq
+    // allocation and GenericRow cache (measured as part of the build's
+    // serial floor: the minting count() materialized an object cache
+    // instead of codegen'd unsafe rows)
+    val offArr = typedlit(offsets.toSeq)
+    val out = parted
+      .withColumn("_mono", monotonically_increasing_id())
+      .select((element_at(offArr, shiftright(col("_mono"), 33).cast("int") + 1) +
+          col("_mono").bitwiseAND(lit((1L << 33) - 1))).as("docId")
+        +: parted.columns.map(col): _*)
       .persist()
     // mint: every downstream plan reads these cached rows, never re-runs
     // the pid-dependent assignment

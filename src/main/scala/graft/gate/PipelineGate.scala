@@ -227,6 +227,34 @@ object PipelineGate {
            |WHERE common * 1.0 / (sa.sz + sb.sz - common) >= 0.8
            |ORDER BY ida, idb""".stripMargin)),
 
+    // Transitive dedup clustering (round 4): near-dup pairs at 0.8 →
+    // connected components → (doc_id, keep_id = min id in component,
+    // is_kept). The oracle rebuilds the same pair set and closes it
+    // transitively with a recursive CTE, labeling each vertex with the
+    // least id it can reach.
+    GateQuery("dedup_clusters",
+      (s, d) => Dedup.dedupClusters(
+        Dedup.ngramJaccardPairs(docs(s, d), 5, 0.8)).orderBy("doc_id"),
+      Some("WITH RECURSIVE " + shingleCte.stripPrefix("WITH ") +
+        """, counts AS (
+          |  SELECT a.doc_id da, b.doc_id db, count(*) AS common
+          |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2
+          |), pairs AS (
+          |  SELECT da AS ida, db AS idb
+          |  FROM counts JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+          |  WHERE common * 1.0 / (sa.sz + sb.sz - common) >= 0.8
+          |), edges AS (
+          |  SELECT ida AS a, idb AS b FROM pairs
+          |  UNION SELECT idb, ida FROM pairs
+          |), reach(a, b) AS (
+          |  SELECT a, b FROM edges
+          |  UNION
+          |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+          |)
+          |SELECT a AS doc_id, least(a, min(b)) AS keep_id,
+          |  least(a, min(b)) = a AS is_kept
+          |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin)),
+
     GateQuery("neardup_simhash",
       // fully deterministic (FNV-1a token hashes, ±1 bit votes, popcount)
       // and the 16-bit-chunk blocking is LOSSLESS by pigeonhole for
@@ -322,6 +350,33 @@ object PipelineGate {
              |  array_to_string(list_slice(w, start + 1, start + 64), ' ') AS chunk_text,
              |  CAST(len(list_slice(w, start + 1, start + 64)) AS BIGINT) AS chunk_tokens
              |FROM starts ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // TF-IDF keyword extraction (round 4): top-5 characteristic terms
+    // per doc; rarity ratio N/df instead of log(N/df) keeps the score one
+    // exact integer product + one division, so the oracle's doubles match
+    // bit-for-bit (ranking is identical — N/df is monotone with its log).
+    GateQuery("tfidf_keywords",
+      (s, d) => TextAnalysis.topTfidfTerms(docs(s, d), 5)
+        .orderBy("doc_id", "rank"),
+      Some("""WITH w AS (
+             |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS w
+             |  FROM documents
+             |), base AS (SELECT doc_id, w, len(w) AS n FROM w WHERE len(w) > 0
+             |), tok AS (SELECT doc_id, unnest(w) AS t FROM base
+             |), tf AS (SELECT doc_id, t AS term, count(*) AS tf FROM tok GROUP BY doc_id, t
+             |), dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term
+             |), nd AS (SELECT count(*) AS nd FROM base
+             |), scored AS (
+             |  SELECT doc_id, term, tf, df, tf * nd * 1.0 / df AS raw_score
+             |  FROM tf JOIN dfq USING (term) CROSS JOIN nd
+             |), r AS (
+             |  SELECT *, row_number() OVER (PARTITION BY doc_id
+             |    ORDER BY raw_score DESC, term ASC) AS rank
+             |  FROM scored
+             |)
+             |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+             |  round(raw_score, 4) AS score, CAST(rank AS INT) AS rank
+             |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin)),
 
     GateQuery("token_counts",
       (s, d) => TextAnalysis.tokenCounts(docs(s, d))
@@ -603,6 +658,24 @@ object PipelineGate {
            |SELECT doc_id, t AS masked_text, c AS n_masked
            |FROM s${Curation.PiiPatterns.size} ORDER BY doc_id""".stripMargin
       }),
+
+    // Deterministic stratified sampling (round 4): per-lang rates over
+    // the documents table; the oracle replays the FNV bucket arithmetic
+    // (HUGEINT mod 2^64) and the same rate thresholds, so the kept-row
+    // SET matches exactly — the determinism claim is the thing gated.
+    GateQuery("stratified_sample",
+      (s, d) => Curation.stratifiedSample(docs(s, d), "lang",
+        Map("en" -> 0.5, "fr" -> 0.25, "de" -> 0.1), defaultRate = 0.05)
+        .select("doc_id", "lang").orderBy("doc_id"),
+      Some(s"""WITH b AS (
+              |  SELECT doc_id, lang,
+              |    ${fnvSql("('ss-42-' || doc_id)")} % 1000000::HUGEINT AS bucket
+              |  FROM documents
+              |)
+              |SELECT doc_id, lang FROM b
+              |WHERE bucket < CAST(CASE lang WHEN 'en' THEN 0.5 WHEN 'fr' THEN 0.25
+              |  WHEN 'de' THEN 0.1 ELSE 0.05 END * 1000000 AS BIGINT)
+              |ORDER BY doc_id""".stripMargin)),
 
     GateQuery("multimodal_decode",
       (s, d) => Multimodal.decode(Multimodal.asMedia(docs(s, d)))

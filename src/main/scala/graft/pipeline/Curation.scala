@@ -141,4 +141,31 @@ object Curation {
     df.select(col(idCol), masked.as("masked_text"),
       counts.reduce(_ + _).cast("long").as("n_masked"))
   }
+
+  // ---------------------------------------------------------------- stratified sampling
+
+  /** Deterministic stratified sampling — the corpus-mixing primitive (keep
+    * 100% of curated data, 8% of web crawl, …): a row is kept iff
+    * FNV-1a64("ss-&lt;seed&gt;-&lt;id&gt;") mod 10^6 &lt; rate(stratum)·10^6. Per-row
+    * column math: no shuffle, no RNG state — the SAME rows are kept on
+    * every run, at any parallelism, and on reruns over a grown corpus
+    * (rows never flip in or out when unrelated rows arrive, unlike
+    * `df.sample`, whose draw depends on partitioning). Rates are exact at
+    * 10^-6 granularity; unknown strata fall back to `defaultRate`. */
+  def stratifiedSample(df: DataFrame, strataCol: String, rates: Map[String, Double],
+                       defaultRate: Double = 0.0, idCol: String = "doc_id",
+                       seed: Long = 42L): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1),
+      "sampling rates must be in [0,1]")
+    val rateCol = rates.foldLeft(lit(defaultRate)) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    // UNSIGNED remainder: SQL sees the hash as a value in [0, 2^64) and
+    // 2^64 mod 10^6 ≠ 0, so a signed pmod would keep a different row set
+    val bucketUdf = udf((s: String) =>
+      java.lang.Long.remainderUnsigned(Dedup.fnv1a64(s), 1000000L))
+    val bucket = bucketUdf(concat(lit(s"ss-$seed-"), col(idCol).cast("string")))
+    df.withColumn("_keep", bucket < (rateCol * 1000000).cast("long"))
+      .where(col("_keep")).drop("_keep")
+  }
 }

@@ -226,4 +226,50 @@ object TextAnalysis {
     df.select(col(idCol), toks(col(textCol)).as("w"))
       .select(col(idCol), fp(col("w")).as("fingerprint"))
   }
+
+  /** Top-k characteristic terms per document by TF-IDF — the keyword /
+    * topic-signal extraction pass of a corpus-analysis pipeline. Returns
+    * (doc_id, term, tf, df, score, rank) with rank 1..k per doc.
+    *
+    * The idf factor is the raw rarity ratio N/df (monotone with the
+    * textbook log(N/df), so the RANKING is identical) — score =
+    * tf·N/df is then one exact integer product and one IEEE division,
+    * bit-reproducible in the SQL gate oracle, where a log's libm
+    * rounding could differ. Ties break term-ascending.
+    *
+    * Scale shape: per-doc tf comes from run lengths of the in-row sorted
+    * token array (shuffle-free); the only exchanges are the term-df
+    * aggregation (narrow 8-byte-ish keys, map-side partial), the df
+    * join back (term-keyed; AQE broadcasts when the dictionary fits),
+    * and the per-doc top-k window (id-keyed). The doc count joins as a
+    * broadcast single row — no driver action, the plan stays lazy. */
+  def topTfidfTerms(df: DataFrame, k: Int = 5, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val base = df.select(col(idCol).as("id"), toks(col(textCol)).as("w"))
+      .withColumn("n", size(col("w")))
+      .where(col("n") > 0)
+      .withColumn("sw", sort_array(col("w")))
+    val withRuns = base
+      .withColumn("starts", filter(sequence(lit(1), col("n")),
+        i => (i === 1) || (element_at(col("sw"), i) =!= element_at(col("sw"), i - 1))))
+      .withColumn("tfs", zip_with(col("starts"),
+        concat(slice(col("starts"), lit(2), size(col("starts"))), array(col("n") + 1)),
+        (a, b) => b - a))
+      .withColumn("terms", transform(col("starts"), p => element_at(col("sw"), p)))
+    val termTf = withRuns
+      .select(col("id"), explode(arrays_zip(col("terms"), col("tfs"))).as("tt"))
+      .select(col("id"), col("tt.terms").as("term"), col("tt.tfs").cast("long").as("tf"))
+    val termDf = termTf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = base.agg(count(lit(1)).as("nd"))
+    val scored = termTf.join(termDf, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("raw_score", col("tf") * col("nd") * lit(1.0) / col("df"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("raw_score").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(win))
+      .where(col("rank") <= k)
+      .select(col("id").as(idCol), col("term"), col("tf"), col("df"),
+        round(col("raw_score"), 4).as("score"), col("rank"))
+  }
 }

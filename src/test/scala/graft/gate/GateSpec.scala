@@ -49,8 +49,8 @@ class GateSpec extends SparkSuite {
           // ann_ivf oracle CTEs (the 8 unrolled Lloyd iterations are
           // a0..a7 / c0..c8; the FROM-regex strips the digit)
           "qd", "samp", "km", "sq", "acell", "pc", "qe",
-          // doc_chunks / doc_repetition oracle CTEs
-          "starts", "bg", "bc",
+          // doc_chunks / doc_repetition / dedup_clusters oracle CTEs
+          "starts", "bg", "bc", "pairs", "edges", "reach", "tf", "dfq", "nd", "b",
           // curation oracle CTEs (decontam / quality_filter / pii_mask)
           "bsh", "hits", "base", "tok", "wc", "topw", "r", "aug") --
         // iteration CTEs: a<j>, c<j>, pii chain s<j>

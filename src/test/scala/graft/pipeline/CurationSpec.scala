@@ -81,6 +81,26 @@ class CurationSpec extends SparkSuite {
     assert(out.getLong(2) === 1L)
   }
 
+  test("stratifiedSample is deterministic, rate-accurate, and default-rate-backed") {
+    import spark.implicits._
+    val rows = (0L until 2000L).map(i => (i, if (i % 2 == 0) "en" else "xx"))
+      .toDF("doc_id", "lang")
+    val sampled = Curation.stratifiedSample(rows, "lang", Map("en" -> 0.5), defaultRate = 0.0)
+    val kept = sampled.collect().map(r => (r.getLong(0), r.getString(1)))
+    // default rate 0 → no xx rows at all
+    assert(kept.forall(_._2 == "en"))
+    // ~50% of the 1000 en rows (hash-uniform; generous tolerance)
+    assert(kept.length > 350 && kept.length < 650, s"kept=${kept.length}")
+    // identical row SET on a rerun (determinism, not just the count)
+    val again = Curation.stratifiedSample(rows, "lang", Map("en" -> 0.5), defaultRate = 0.0)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(again === kept.map(_._1).toSet)
+    // a row's keep decision is independent of the other rows present
+    val subset = Curation.stratifiedSample(rows.filter(col("doc_id") < 100), "lang",
+      Map("en" -> 0.5), defaultRate = 0.0).collect().map(_.getLong(0)).toSet
+    assert(subset === kept.map(_._1).filter(_ < 100).toSet)
+  }
+
   test("curation runs over the sf0.001 corpus without shuffle surprises") {
     val q = Curation.qualityFilter(docs)
     assert(q.count() === docs.count())

@@ -251,4 +251,39 @@ class PipelineSpec extends SparkSuite {
     val covered = d1.flatMap(_.getString(2).split(" ")).toSet
     assert(covered === (1 to 10).map(i => s"t$i").toSet)
   }
+
+  test("connectedComponents: chains, cliques, singleton pairs, empty input") {
+    import spark.implicits._
+    // chain 1-2-3-4-5 (diameter 4 — exercises pointer jumping), clique
+    // 10-11-12, isolated pair (20,21)
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (10L, 12L), (11L, 12L),
+      (20L, 21L)).toDF("ida", "idb")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    // empty pair set → empty result, converged
+    assert(Dedup.connectedComponents(pairs.limit(0)).count() === 0L)
+  }
+
+  test("connectedComponents: long chain converges within the iteration cap") {
+    import spark.implicits._
+    // 200-vertex chain: plain min-propagation would need ~200 rounds;
+    // the pointer-jumping variant must finish inside the default 20
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("ida", "idb")
+    val got = Dedup.connectedComponents(chain)
+    assert(got.count() === 200L)
+    assert(got.filter(col("comp") =!= 0L).count() === 0L)
+  }
+
+  test("dedupClusters marks exactly one keeper per component") {
+    import spark.implicits._
+    val pairs = Seq((7L, 3L), (3L, 9L), (40L, 41L)).toDF("ida", "idb")
+    val rows = Dedup.dedupClusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.toSet === Set((3L, 3L, true), (7L, 3L, false), (9L, 3L, false),
+      (40L, 40L, true), (41L, 40L, false)))
+  }
 }
