@@ -46,10 +46,14 @@ object BenchBuild {
     val warmConvs = args(3).toLong
     val localDir = args(4)
 
+    // tasks-per-core multiplier for every stage of the build: 2 gives a
+    // straggler half a wave of exposure at the stage tail; the knob is
+    // overridable for tail experiments (GRAFT_BUILD_TPC)
+    val tasksPerCore = sys.env.getOrElse("GRAFT_BUILD_TPC", "2").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-bench-build-$cores")
-      .config("spark.sql.shuffle.partitions", cores * 2)
+      .config("spark.sql.shuffle.partitions", cores * tasksPerCore)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")
