@@ -677,6 +677,77 @@ object PipelineGate {
               |  WHEN 'de' THEN 0.1 ELSE 0.05 END * 1000000 AS BIGINT)
               |ORDER BY doc_id""".stripMargin)),
 
+    // End-to-end curation composition (round 4): quality filter →
+    // near-dup dedup (pair → cluster → apply) → stratified sample, all
+    // chained lazily through the engine's operators; the oracle replays
+    // the whole pipeline in one recursive WITH. This is the gate that
+    // proves the ops COMPOSE (same rounded signals, same cluster
+    // keep-ids, same sample buckets) rather than merely agreeing leaf by
+    // leaf.
+    GateQuery("curation_pipeline",
+      (s, d) => {
+        val dd = docs(s, d)
+        val qIds = Curation.qualityFilter(dd, Curation.QualityConfig(minTokens = 10))
+          .filter(col("pass")).select("doc_id")
+        val qdocs = dd.join(qIds, "doc_id")
+        val pairs = Dedup.ngramJaccardPairs(qdocs, 5, 0.8)
+        val deduped = Dedup.applyDedup(qdocs, Dedup.dedupClusters(pairs))
+        Curation.stratifiedSample(deduped, "lang",
+          Map("en" -> 0.5, "fr" -> 0.25), defaultRate = 0.1)
+          .select("doc_id", "lang").orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE w AS (
+              |  SELECT doc_id, lang, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS w
+              |  FROM documents
+              |), base AS (SELECT doc_id, lang, w, len(w) AS n FROM w
+              |), tok AS (SELECT doc_id, unnest(w) AS t FROM base
+              |), wc AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t
+              |), topw AS (SELECT doc_id, max(c) AS c FROM wc GROUP BY doc_id
+              |), sig AS (
+              |  SELECT base.doc_id, lang, w, n,
+              |    CASE WHEN n > 0 THEN round(list_sum(list_transform(w, t -> length(t))) * 1.0 / n, 4) END AS mwl,
+              |    CASE WHEN n > 0 THEN round(len(list_filter(w, t -> t IN ('the','a','of','and','to','in','is','it','that','for'))) * 1.0 / n, 4) END AS sr,
+              |    CASE WHEN n > 0 THEN round(topw.c * 1.0 / n, 4) END AS twf,
+              |    CASE WHEN n > 0 THEN round((n - len(list_distinct(w))) * 1.0 / n, 4) END AS dfr
+              |  FROM base LEFT JOIN topw USING (doc_id)
+              |), qpass AS (
+              |  SELECT doc_id, lang, w FROM sig
+              |  WHERE NOT (n < 10) AND NOT (n > 100000)
+              |    AND NOT (n > 0 AND (mwl < 3.0 OR mwl > 10.0))
+              |    AND NOT (n > 0 AND sr < 0.02)
+              |    AND NOT (n > 0 AND twf > 0.10)
+              |    AND NOT (n > 0 AND dfr > 0.55)
+              |), sh AS (
+              |  SELECT DISTINCT doc_id,
+              |    unnest(list_transform(generate_series(1, len(w) - 4),
+              |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS g
+              |  FROM qpass WHERE len(w) >= 5
+              |), sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+              |), counts AS (
+              |  SELECT a.doc_id da, b.doc_id db, count(*) AS common
+              |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2
+              |), pairs AS (
+              |  SELECT da AS ida, db AS idb
+              |  FROM counts JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+              |  WHERE common * 1.0 / (sa.sz + sb.sz - common) >= 0.8
+              |), edges AS (
+              |  SELECT ida AS a, idb AS b FROM pairs UNION SELECT idb, ida FROM pairs
+              |), reach(a, b) AS (
+              |  SELECT a, b FROM edges
+              |  UNION
+              |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+              |), drops AS (
+              |  SELECT a AS doc_id FROM reach GROUP BY a HAVING least(a, min(b)) <> a
+              |), kept AS (
+              |  SELECT doc_id, lang FROM qpass
+              |  WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+              |)
+              |SELECT doc_id, lang FROM kept
+              |WHERE ${fnvSql("('ss-42-' || doc_id)")} % 1000000::HUGEINT
+              |  < CAST(CASE lang WHEN 'en' THEN 0.5 WHEN 'fr' THEN 0.25
+              |         ELSE 0.1 END * 1000000 AS BIGINT)
+              |ORDER BY doc_id""".stripMargin)),
+
     GateQuery("multimodal_decode",
       (s, d) => Multimodal.decode(Multimodal.asMedia(docs(s, d)))
         .select("doc_id", "n_bytes", "head_byte", "width", "height")

@@ -458,4 +458,14 @@ object Dedup {
     connectedComponents(pairs)
       .select(col("v").as("doc_id"), col("comp").as("keep_id"),
         (col("v") === col("comp")).as("is_kept"))
+
+  /** Apply a cluster decision corpus-wide: drop every row whose id maps
+    * to a component it does not lead. LEFT ANTI join against only the
+    * dropped ids (the clusters table is pairs-sized, tiny next to the
+    * corpus — AQE broadcasts it), so the corpus side is one narrow pass:
+    * no corpus shuffle at any scale. */
+  def applyDedup(df: DataFrame, clusters: DataFrame,
+                 idCol: String = "doc_id"): DataFrame =
+    df.join(clusters.filter(!col("is_kept")).select(col("doc_id").as(idCol)),
+      Seq(idCol), "left_anti")
 }

@@ -51,6 +51,7 @@ class GateSpec extends SparkSuite {
           "qd", "samp", "km", "sq", "acell", "pc", "qe",
           // doc_chunks / doc_repetition / dedup_clusters oracle CTEs
           "starts", "bg", "bc", "pairs", "edges", "reach", "tf", "dfq", "nd", "b",
+          "qpass", "drops", "kept",
           // curation oracle CTEs (decontam / quality_filter / pii_mask)
           "bsh", "hits", "base", "tok", "wc", "topw", "r", "aug") --
         // iteration CTEs: a<j>, c<j>, pii chain s<j>

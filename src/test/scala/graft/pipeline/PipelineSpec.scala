@@ -286,4 +286,14 @@ class PipelineSpec extends SparkSuite {
     assert(rows.toSet === Set((3L, 3L, true), (7L, 3L, false), (9L, 3L, false),
       (40L, 40L, true), (41L, 40L, false)))
   }
+
+  test("applyDedup drops exactly the non-keepers, leaves unpaired docs alone") {
+    import spark.implicits._
+    val corpus = (1L to 10L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val pairs = Seq((2L, 5L), (5L, 8L)).toDF("ida", "idb")
+    val kept = Dedup.applyDedup(corpus, Dedup.dedupClusters(pairs))
+      .collect().map(_.getLong(0)).toSet
+    // component {2,5,8} keeps 2; every unpaired doc survives
+    assert(kept === Set(1L, 2L, 3L, 4L, 6L, 7L, 9L, 10L))
+  }
 }
