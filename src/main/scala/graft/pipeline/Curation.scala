@@ -63,34 +63,73 @@ object Curation {
       maxTopWordFrac: Double = 0.10,
       maxDupFrac: Double = 0.55)
 
+  /** Per-doc quality signals, computed in ONE tight JVM pass over the
+    * token array. A UDF rather than higher-order-function column math on
+    * purpose: HOFs don't participate in whole-stage codegen, and a
+    * downstream `filter(col("pass"))` inlines the projection into the
+    * predicate — the interpreted HOF tree was then re-evaluated per rule
+    * reference (measured 11×: 2.96 s plain vs 33.6 s filtered at sf0.1).
+    * The UDF's arithmetic is identical to the SQL oracle's: exact
+    * integer sums, one IEEE division per signal, HALF_UP round to 4
+    * (Spark's own `round`). */
+  private final case class QSignals(n: Long, mwl: Option[Double], sr: Option[Double],
+                                    twf: Option[Double], dfr: Option[Double])
+
+  private def r4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private val qSignalsUdf = {
+    val stops = TextAnalysis.EnglishStopwords.toSet
+    udf((w: Seq[String]) => {
+      val n = w.length.toLong
+      if (n == 0L) QSignals(0L, None, None, None, None)
+      else {
+        var lenSum = 0L
+        var stop = 0L
+        val distinct = new scala.collection.mutable.HashSet[String]
+        w.foreach { t =>
+          lenSum += t.length
+          if (stops(t)) stop += 1
+          distinct += t
+        }
+        // top token count = longest run of the sorted array (tokens are
+        // [a-z0-9]+, where Java string order == Spark's UTF8 binary order)
+        val sorted = w.sorted
+        var topC = 1L; var run = 1L
+        var i = 1
+        while (i < sorted.length) {
+          if (sorted(i) == sorted(i - 1)) { run += 1; if (run > topC) topC = run }
+          else run = 1
+          i += 1
+        }
+        QSignals(n,
+          Some(r4(lenSum * 1.0 / n)),
+          Some(r4(stop * 1.0 / n)),
+          Some(r4(topC * 1.0 / n)),
+          Some(r4((n - distinct.size) * 1.0 / n)))
+      }
+    })
+  }
+
   /** Composite C4/Gopher-style quality decision, one row per doc:
     * all the signals, `pass`, and `fail_reasons` (comma-joined rule
     * names in fixed rule order; empty string when passing).
     *
-    * Every signal is per-row column math over the doc's own token array
-    * (exact-integer sums, one IEEE division each — reproducible
-    * bit-identically in the SQL oracle); no shuffle, no UDF: at 100 TB
-    * this is a narrow map fused into the scan. */
+    * The signals come from `qSignalsUdf` (one JVM pass per row); the
+    * rules are then plain column comparisons, so even when Catalyst
+    * inlines the projection into a downstream filter the duplicated
+    * work is a cheap struct-field read. No shuffle: at 100 TB this is a
+    * narrow map fused into the scan. */
   def qualityFilter(df: DataFrame, cfg: QualityConfig = QualityConfig(),
                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val base = df
-      .select(col(idCol), TextAnalysis.simpleToks(col(textCol)).as("w"))
-      .withColumn("n", size(col("w")).cast("long"))
-      .withColumn("sw", sort_array(col("w")))
-    val (_, topWc) = TextAnalysis.topRun(col("sw"), col("n"))
-    val swLit = typedlit(TextAnalysis.EnglishStopwords)
-    val signals = base
-      .withColumn("mean_word_len",
-        when(col("n") > 0, round(
-          aggregate(col("w"), lit(0L), (acc, t) => acc + length(t)) * lit(1.0) / col("n"), 4)))
-      .withColumn("stop_ratio",
-        when(col("n") > 0, round(
-          size(filter(col("w"), t => array_contains(swLit, t))) * lit(1.0) / col("n"), 4)))
-      .withColumn("top_word_frac",
-        when(col("n") > 0, round(topWc * lit(1.0) / col("n"), 4)))
-      .withColumn("dup_frac",
-        when(col("n") > 0, round(
-          (col("n") - size(array_distinct(col("w")))) * lit(1.0) / col("n"), 4)))
+    val signals = df
+      .select(col(idCol), qSignalsUdf(TextAnalysis.simpleToks(col(textCol))).as("s"))
+      .select(col(idCol),
+        col("s.n").as("n"),
+        col("s.mwl").as("mean_word_len"),
+        col("s.sr").as("stop_ratio"),
+        col("s.twf").as("top_word_frac"),
+        col("s.dfr").as("dup_frac"))
     // rule order is the artifact's contract: reasons list in this order
     val rules: Seq[(String, org.apache.spark.sql.Column)] = Seq(
       "too_few_tokens" -> (col("n") < cfg.minTokens),

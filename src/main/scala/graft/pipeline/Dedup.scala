@@ -425,7 +425,9 @@ object Dedup {
       val pulled = comp.join(nbrMin, Seq("v"), "left")
         .select(col("v"), least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
       // pointer jump: comp(v) <- comp(comp(v)) (roots map to themselves,
-      // so the inner self-join is total)
+      // so the inner self-join is total). One jump per round measured
+      // best: a second jump halves the round count but AQE splits its
+      // extra joins into as many additional sub-jobs as it saves.
       val jumped0 = pulled.as("c1")
         .join(pulled.as("c2"), col("c1.comp") === col("c2.v"))
         .select(col("c1.v").as("v"), col("c2.comp").as("comp"))
@@ -446,6 +448,8 @@ object Dedup {
     }
     edges.unpersist()
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    org.slf4j.LoggerFactory.getLogger(getClass)
+      .info(s"connectedComponents converged in $iter rounds")
     comp
   }
 
