@@ -29,16 +29,24 @@ object Curation {
     * counts. Shingle dedup is per-document `array_distinct` inside the
     * row (shuffle-free, see Dedup.shingleSets). */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int = 8,
-                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                    idCol: String = "doc_id", textCol: String = "text",
+                    eager: Boolean = true): DataFrame = {
     val benchSh = Dedup.shingles(benchmark, n, idCol, textCol)
       .select(xxhash64(col("shingle")).as("sh")).distinct()
-    val sets = Dedup.shingleSets(corpus, n, idCol, textCol)
+    // the corpus-side shingle sets feed TWO plan legs (the hits join and
+    // the final per-doc left join) — persist + materialize in eager mode
+    // so the tokenize+shingle pipeline runs once, not per leg (the same
+    // recompute pitfall ngramJaccardPairs fixed); eager = false composes
+    // lazily and recomputes
+    val sets0 = Dedup.shingleSets(corpus, n, idCol, textCol)
+    val sets = if (eager) sets0.persist() else sets0
+    if (eager) sets.count()
     val hits = sets
       .select(col("id"), explode(col("set")).as("shingle"))
       .select(col("id"), xxhash64(col("shingle")).as("sh"))
       .join(broadcast(benchSh), "sh")
       .groupBy("id").agg(count(lit(1)).as("n_contaminated"))
-    sets.select(col("id"), col("sz").as("n_shingles"))
+    val lazyOut = sets.select(col("id"), col("sz").as("n_shingles"))
       .join(hits, Seq("id"), "left")
       .na.fill(0L, Seq("n_contaminated"))
       .select(
@@ -47,6 +55,11 @@ object Curation {
         col("n_contaminated"),
         round(col("n_contaminated") * lit(1.0) / col("n_shingles"), 4).as("contam_frac"),
         (col("n_contaminated") > 0).as("contaminated"))
+    if (!eager) return lazyOut
+    val out = lazyOut.persist()
+    out.count() // materialize before dropping the shingle cache
+    sets.unpersist()
+    out
   }
 
   // ---------------------------------------------------------------- quality filter
@@ -72,17 +85,24 @@ object Curation {
     * The UDF's arithmetic is identical to the SQL oracle's: exact
     * integer sums, one IEEE division per signal, HALF_UP round to 4
     * (Spark's own `round`). */
-  private final case class QSignals(n: Long, mwl: Option[Double], sr: Option[Double],
-                                    twf: Option[Double], dfr: Option[Double])
-
   private def r4(x: Double): Double =
     BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  /** Returns a Tuple5 (n, mean_word_len, stop_ratio, top_word_frac,
+    * dup_frac), NOT a nested case class: Janino cannot compile the
+    * UnsafeProjection serializer for a private nested case class (its
+    * accessor resolution fails) and Spark silently fell back to
+    * interpreted projection around this UDF — Tuple5's product encoder
+    * stays inside codegen. Null-tolerant: a null text tokenizes to a
+    * null array and degrades to the empty-doc signals. */
   private val qSignalsUdf = {
     val stops = TextAnalysis.EnglishStopwords.toSet
-    udf((w: Seq[String]) => {
+    udf((w0: Seq[String]) => {
+      val w = if (w0 == null) Seq.empty[String] else w0
       val n = w.length.toLong
-      if (n == 0L) QSignals(0L, None, None, None, None)
+      if (n == 0L)
+        (0L, None: Option[Double], None: Option[Double],
+          None: Option[Double], None: Option[Double])
       else {
         var lenSum = 0L
         var stop = 0L
@@ -102,7 +122,7 @@ object Curation {
           else run = 1
           i += 1
         }
-        QSignals(n,
+        (n,
           Some(r4(lenSum * 1.0 / n)),
           Some(r4(stop * 1.0 / n)),
           Some(r4(topC * 1.0 / n)),
@@ -125,11 +145,11 @@ object Curation {
     val signals = df
       .select(col(idCol), qSignalsUdf(TextAnalysis.simpleToks(col(textCol))).as("s"))
       .select(col(idCol),
-        col("s.n").as("n"),
-        col("s.mwl").as("mean_word_len"),
-        col("s.sr").as("stop_ratio"),
-        col("s.twf").as("top_word_frac"),
-        col("s.dfr").as("dup_frac"))
+        col("s._1").as("n"),
+        col("s._2").as("mean_word_len"),
+        col("s._3").as("stop_ratio"),
+        col("s._4").as("top_word_frac"),
+        col("s._5").as("dup_frac"))
     // rule order is the artifact's contract: reasons list in this order
     val rules: Seq[(String, org.apache.spark.sql.Column)] = Seq(
       "too_few_tokens" -> (col("n") < cfg.minTokens),
@@ -196,15 +216,22 @@ object Curation {
                        seed: Long = 42L): DataFrame = {
     require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1),
       "sampling rates must be in [0,1]")
-    val rateCol = rates.foldLeft(lit(defaultRate)) { case (acc, (k, v)) =>
-      when(col(strataCol) === k, lit(v)).otherwise(acc)
+    // thresholds computed driver-side in exact decimal (HALF_UP at 10^-6):
+    // a binary-double product truncated with cast("long") is one bucket
+    // low for rates like 0.29 (289999.9999… → 289999), diverging from the
+    // stated 10^-6 exactness and from an oracle's DECIMAL math
+    def threshold(r: Double): Long =
+      BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .*(BigDecimal(1000000L)).toLongExact
+    val rateCol = rates.foldLeft(lit(threshold(defaultRate))) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit(threshold(v))).otherwise(acc)
     }
     // UNSIGNED remainder: SQL sees the hash as a value in [0, 2^64) and
     // 2^64 mod 10^6 ≠ 0, so a signed pmod would keep a different row set
     val bucketUdf = udf((s: String) =>
       java.lang.Long.remainderUnsigned(Dedup.fnv1a64(s), 1000000L))
     val bucket = bucketUdf(concat(lit(s"ss-$seed-"), col(idCol).cast("string")))
-    df.withColumn("_keep", bucket < (rateCol * 1000000).cast("long"))
+    df.withColumn("_keep", bucket < rateCol)
       .where(col("_keep")).drop("_keep")
   }
 }

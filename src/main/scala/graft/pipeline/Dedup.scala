@@ -38,7 +38,20 @@ object Dedup {
     * shuffle is added. */
   private def spread(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    // Only scan-shaped inputs need the fix-up (a handful of parquet
+    // files); anything downstream of a shuffle already carries ≥
+    // shuffle-partitions partitions. The shape check reads the LOGICAL
+    // plan — calling .rdd here would make AQE finalize (i.e. EXECUTE)
+    // every upstream shuffle stage just to report a partition count,
+    // eagerly running join-shaped inputs once as a side effect.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val shuffleShaped = df.queryExecution.logical.collectFirst {
+      case n @ (_: Join | _: Aggregate | _: Window | _: Sort |
+                _: RepartitionOperation | _: Distinct) => n
+    }.isDefined
+    if (shuffleShaped) df
+    else if (df.rdd.getNumPartitions < p) df.repartition(p)
+    else df
   }
 
   /** Exact dedup: one row per distinct text with the kept (min) id and the
@@ -345,7 +358,11 @@ object Dedup {
     * paid per-row java-serialization of its vote buffer). */
   private val simhashUdf = udf((tokens: Seq[String]) => {
     val votes = new Array[Int](64)
-    tokens.foreach { t =>
+    // null-tolerant: a null text tokenizes to a null array, and the
+    // optimizer may evaluate this projection on rows the empty-doc
+    // filter below would drop (the known projection-before-filter
+    // reordering) — degrade to fingerprint 0 instead of an NPE
+    (if (tokens == null) Nil else tokens).foreach { t =>
       val x = fnv1a64(t)
       var b = 0
       while (b < 64) { votes(b) += (if (((x >>> b) & 1L) == 1L) 1 else -1); b += 1 }
@@ -356,9 +373,15 @@ object Dedup {
     f
   })
 
-  /** SimHash fingerprints: (id, simhash). */
+  /** SimHash fingerprints: (id, simhash). Docs whose text tokenizes to
+    * ZERO tokens emit no row — a token-less doc has no content votes, and
+    * fingerprinting it as 0 would pair every empty/punctuation-only doc
+    * with every other at distance 0 (the explode+groupBy form this
+    * per-row map replaced likewise emitted no row for them). */
   def simhash(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    spread(df).select(col(idCol).as("id"), simhashUdf(tokensCol(col(textCol))).as("simhash"))
+    spread(df).select(col(idCol).as("id"), tokensCol(col(textCol)).as("w"))
+      .where(size(col("w")) > 0)
+      .select(col("id"), simhashUdf(col("w")).as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist: block on the
     * 4 16-bit chunks (any pair within distance 3 shares at least one
