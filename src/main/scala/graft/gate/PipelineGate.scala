@@ -685,17 +685,15 @@ object PipelineGate {
     // keep-ids, same sample buckets) rather than merely agreeing leaf by
     // leaf.
     GateQuery("curation_pipeline",
-      (s, d) => {
-        val dd = docs(s, d)
-        val qIds = Curation.qualityFilter(dd, Curation.QualityConfig(minTokens = 10))
-          .filter(col("pass")).select("doc_id")
-        val qdocs = dd.join(qIds, "doc_id")
-        val pairs = Dedup.ngramJaccardPairs(qdocs, 5, 0.8)
-        val deduped = Dedup.applyDedup(qdocs, Dedup.dedupClusters(pairs))
-        Curation.stratifiedSample(deduped, "lang",
-          Map("en" -> 0.5, "fr" -> 0.25), defaultRate = 0.1)
-          .select("doc_id", "lang").orderBy("doc_id")
-      },
+      // routed through the first-class Curation.pipeline composition
+      // (round 5): one shared token cache across quality → dedup →
+      // sample instead of per-operator re-tokenization; the oracle and
+      // its hash are unchanged — the composition computes the same rows
+      (s, d) => Curation.pipeline(docs(s, d),
+        Curation.CurationConfig(
+          quality = Curation.QualityConfig(minTokens = 10),
+          rates = Map("en" -> 0.5, "fr" -> 0.25), defaultRate = 0.1))
+        .kept.select("doc_id", "lang").orderBy("doc_id"),
       Some(s"""WITH RECURSIVE w AS (
               |  SELECT doc_id, lang, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS w
               |  FROM documents

@@ -75,10 +75,15 @@ object Dedup {
     * first full-stream exchange every shingle-based operator used to
     * pay. */
   private[pipeline] def shingleSets(df: DataFrame, n: Int, idCol: String,
-                                    textCol: String): DataFrame = {
-    val toks = tokensCol(col(textCol))
-    spread(df).select(col(idCol).as("id"), toks.as("w"))
-      .where(size(col("w")) >= n)
+                                    textCol: String): DataFrame =
+    shingleSetsFromTokens(
+      spread(df).select(col(idCol).as("id"), tokensCol(col(textCol)).as("w")), n)
+
+  /** [[shingleSets]] over an already-tokenized (id, w) frame — the entry
+    * point Curation.pipeline uses so one persisted token pass feeds the
+    * quality, dedup and decontamination stages. */
+  private[pipeline] def shingleSetsFromTokens(df: DataFrame, n: Int): DataFrame =
+    df.where(size(col("w")) >= n)
       // the when() guard repeats the filter INSIDE the expression: the
       // optimizer may evaluate a projection on rows the filter would drop
       // (e.g. constant folding over a local relation reordered around the
@@ -88,7 +93,6 @@ object Dedup {
           i => concat_ws(" ", slice(col("w"), i + lit(1), lit(n))))))
         .otherwise(array().cast("array<string>")).as("set"))
       .withColumn("sz", size(col("set")).cast("long"))
-  }
 
   /** Word n-gram shingles: (id, shingle) distinct (shuffle-free — the
     * dedup happens inside each document's array). */
@@ -106,6 +110,33 @@ object Dedup {
                              textCol: String): DataFrame =
     shingles(df, n, idCol, textCol)
       .select(col("id"), xxhash64(col("shingle")).as("shingle"))
+
+  /** Pair (ida, idb, jaccard ≥ threshold) from a (ida, idb, common) frame
+    * plus the per-doc set sizes — the tail every Jaccard variant shares. */
+  private def joinJaccard(common: DataFrame, sizes: DataFrame,
+                          threshold: Double): DataFrame =
+    common
+      .join(sizes.toDF("ida", "sza"), "ida")
+      .join(sizes.toDF("idb", "szb"), "idb")
+      .withColumn("jaccard",
+        col("common") * lit(1.0) / (col("sza") + col("szb") - col("common")))
+      .where(col("jaccard") >= threshold)
+      .select(col("ida"), col("idb"), round(col("jaccard"), 4).as("jaccard"))
+
+  /** Exact uncapped Jaccard pairs over an already-built (id, set, sz)
+    * shingle-set frame (callers persist it when it feeds several legs —
+    * Curation.pipeline's shared-cache composition). Lazy: no persist, no
+    * count. */
+  private[pipeline] def jaccardPairsFromSets(sets: DataFrame,
+                                             threshold: Double): DataFrame = {
+    val sh = sets.select(col("id"), explode(col("set")).as("s"))
+      .select(col("id"), xxhash64(col("s")).as("shingle"))
+    val common = sh.select(col("id").as("ida"), col("shingle"))
+      .join(sh.select(col("id").as("idb"), col("shingle")), "shingle")
+      .where(col("ida") < col("idb"))
+      .groupBy("ida", "idb").agg(count(lit(1)).as("common"))
+    joinJaccard(common, sets.select(col("id"), col("sz")), threshold)
+  }
 
   /** Exact n-gram Jaccard near-dup pairs: inverted-index self-join on the
     * shingle (the blocking key), count common shingles per pair, then
@@ -188,13 +219,7 @@ object Dedup {
           .select("ida", "idb", "common")
         (c, Some((flaggedP, hotPerDocP)))
       }
-    val lazyOut = common
-      .join(sizes.toDF("ida", "sza"), "ida")
-      .join(sizes.toDF("idb", "szb"), "idb")
-      .withColumn("jaccard",
-        col("common") * lit(1.0) / (col("sza") + col("szb") - col("common")))
-      .where(col("jaccard") >= threshold)
-      .select(col("ida"), col("idb"), round(col("jaccard"), 4).as("jaccard"))
+    val lazyOut = joinJaccard(common, sizes, threshold)
     if (!eager) return lazyOut
     val out = lazyOut.persist()
     out.count() // materialize before dropping the intermediates
@@ -336,13 +361,7 @@ object Dedup {
       .join(sh.toDF("idb", "shingle2"), "idb")
       .where(col("shingle") === col("shingle2"))
       .groupBy("ida", "idb").agg(count(lit(1)).as("common"))
-    val lazyOut = common
-      .join(sizes.toDF("ida", "sza"), "ida")
-      .join(sizes.toDF("idb", "szb"), "idb")
-      .withColumn("jaccard",
-        col("common") * lit(1.0) / (col("sza") + col("szb") - col("common")))
-      .where(col("jaccard") >= threshold)
-      .select(col("ida"), col("idb"), round(col("jaccard"), 4).as("jaccard"))
+    val lazyOut = joinJaccard(common, sizes, threshold)
     if (!eager) return lazyOut
     val out = lazyOut.persist()
     out.count() // materialize before dropping the shingle-set cache
@@ -424,11 +443,41 @@ object Dedup {
     * fixpoint); `maxIter` bounds the loop and non-convergence THROWS
     * rather than returning a silently-partial clustering. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
-                          aCol: String = "ida", bCol: String = "idb"): DataFrame = {
+                          aCol: String = "ida", bCol: String = "idb",
+                          driverEdgeCap: Long = 4000000L): DataFrame = {
     val edges = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
       .union(pairs.select(col(bCol).as("a"), col(aCol).as("b")))
       .distinct()
       .persist()
+    // Small-graph fast path: the distributed loop costs O(log n) full job
+    // rounds — pure scheduling overhead when the edge list fits in one
+    // task. Below the cap (4M directed edges = 64 MB of longs — a BOUNDED
+    // collect, like every other driver-side read in this engine) run
+    // union-find on the driver in one pass; identical output (component =
+    // min reachable id). Near-dup graphs above the cap take the
+    // distributed pointer-jumping loop unchanged.
+    val nEdges = edges.count()
+    if (driverEdgeCap >= 0 && nEdges <= driverEdgeCap) {
+      val spark = pairs.sparkSession
+      val parent = new scala.collection.mutable.HashMap[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.collect().foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // min-label union
+      }
+      val rows = parent.keysIterator.map(v => (v, find(v))).toSeq
+      edges.unpersist()
+      import spark.implicits._
+      return rows.toDF("v", "comp")
+    }
     var comp = edges.select(col("a").as("v")).distinct()
       .withColumn("comp", col("v"))
       .persist()

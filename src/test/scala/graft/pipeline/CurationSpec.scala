@@ -101,6 +101,49 @@ class CurationSpec extends SparkSuite {
     assert(subset === kept.map(_._1).filter(_ < 100).toSet)
   }
 
+  test("pipeline: end-to-end composition equals the stage-by-stage operators") {
+    val dd = docs
+    val cfg = Curation.CurationConfig(
+      quality = Curation.QualityConfig(minTokens = 10),
+      rates = Map("en" -> 0.5, "fr" -> 0.25), defaultRate = 0.1)
+    val res = Curation.pipeline(dd, cfg)
+    // reference composition: each operator independently
+    val qIds = Curation.qualityFilter(dd, cfg.quality).filter(col("pass")).select("doc_id")
+    val qdocs = dd.join(qIds, "doc_id")
+    val clusters = Dedup.dedupClusters(Dedup.ngramJaccardPairs(qdocs, 5, 0.8))
+    val expect = Curation.stratifiedSample(
+      Dedup.applyDedup(qdocs, clusters), "lang", cfg.rates, cfg.defaultRate)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(res.kept.select("doc_id").collect().map(_.getLong(0)).toSet === expect)
+    // the kept frame keeps the ORIGINAL columns (no __w token cache leak)
+    assert(res.kept.columns.toSeq === dd.columns.toSeq)
+    // per-stage accounting is consistent and complete
+    val c = res.counts
+    assert(c.input === dd.count())
+    assert(c.contaminated === 0L)
+    assert(c.input - c.qualityFailed - c.dupDropped - c.sampledOut === c.kept)
+    assert(c.dupDropped === clusters.filter(!col("is_kept")).count())
+    res.kept.unpersist()
+  }
+
+  test("pipeline: decontamination stage drops benchmark-overlapping docs first") {
+    // benchmark = the doc_id%25==0 slice (the decontam gate's convention)
+    val bench = docs.filter(col("doc_id") % 25 === 0)
+    val corpus = docs.filter(col("doc_id") % 25 =!= 0)
+    val cfg = Curation.CurationConfig(
+      quality = Curation.QualityConfig(minTokens = 10))
+    val res = Curation.pipeline(corpus, cfg, benchmark = Some(bench))
+    val contamIds = Curation.decontaminate(corpus, bench)
+      .filter(col("contaminated")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(res.counts.contaminated === contamIds.size)
+    val keptIds = res.kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptIds.intersect(contamIds).isEmpty)
+    // no sampling configured → kept = input − contaminated − quality − dup
+    assert(res.counts.sampledOut === 0L)
+    res.kept.unpersist()
+  }
+
   test("curation runs over the sf0.001 corpus without shuffle surprises") {
     val q = Curation.qualityFilter(docs)
     assert(q.count() === docs.count())

@@ -260,20 +260,28 @@ class PipelineSpec extends SparkSuite {
       (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
       (10L, 11L), (10L, 12L), (11L, 12L),
       (20L, 21L)).toDF("ida", "idb")
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L)
+    // small-graph fast path (driver union-find under the edge cap)...
     val got = Dedup.connectedComponents(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
-      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
-    // empty pair set → empty result, converged
+    assert(got === expect)
+    // ...and the distributed pointer-jumping loop (cap disabled) agree
+    val gotDist = Dedup.connectedComponents(pairs, driverEdgeCap = -1L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotDist === expect)
+    // empty pair set → empty result, converged (both paths)
     assert(Dedup.connectedComponents(pairs.limit(0)).count() === 0L)
+    assert(Dedup.connectedComponents(pairs.limit(0), driverEdgeCap = -1L).count() === 0L)
   }
 
   test("connectedComponents: long chain converges within the iteration cap") {
     import spark.implicits._
     // 200-vertex chain: plain min-propagation would need ~200 rounds;
     // the pointer-jumping variant must finish inside the default 20
+    // (cap disabled so the DISTRIBUTED loop is what's exercised)
     val chain = (0L until 199L).map(i => (i, i + 1)).toDF("ida", "idb")
-    val got = Dedup.connectedComponents(chain)
+    val got = Dedup.connectedComponents(chain, driverEdgeCap = -1L)
     assert(got.count() === 200L)
     assert(got.filter(col("comp") =!= 0L).count() === 0L)
   }
