@@ -202,6 +202,34 @@ object Gate {
             |  JOIN dlq q USING (doc_id) CROSS JOIN stats s)
             |ORDER BY tscore DESC, doc_id LIMIT 20""".stripMargin)),
 
+    // sloppy phrase (round 5): "spark merge"~2 — per-anchor greedy
+    // nearest-occurrence matching (model.PhraseQuery doc); for a 2-term
+    // phrase matchLength = |Δactual − Δexpected|, exactly Lucene's cost
+    // (a transposition costs 2). Fractional freq = Σ 1/(1+ml) over
+    // matching anchors; the oracle replays the fold SEQUENTIALLY in
+    // anchor order (list_reduce over an ORDER BY b0 list) so the double
+    // accumulation is bit-equal, then scores with Σ idf like bm25_phrase.
+    GateQuery("bm25_phrase_slop",
+      (s, d) => topKDf(s, d, "\"spark merge\"~2", Nil, 20),
+      sql("""SELECT doc_id, round(tscore, 4) AS score FROM (
+            |  SELECT f.doc_id,
+            |    (SELECT sum(ln(1 + (s2.n - t.df + 0.5) / (t.df + 0.5)))
+            |     FROM tstat t CROSS JOIN stats s2 WHERE t.term IN ('spark', 'merge'))
+            |      * f.tf / (f.tf + 1.2 * (0.25 + 0.75 * q.dlq / s.avgdl)) AS tscore
+            |  FROM (
+            |    SELECT doc_id, list_reduce(list_prepend(0.0::DOUBLE,
+            |        list(1.0::DOUBLE / (1 + abs(d)) ORDER BY b0)),
+            |      (acc, x) -> acc + x) AS tf
+            |    FROM (
+            |      SELECT a.doc_id, a.pos AS b0, (b.pos - 1) - a.pos AS d,
+            |        row_number() OVER (PARTITION BY a.doc_id, a.pos
+            |          ORDER BY abs((b.pos - 1) - a.pos), (b.pos - 1) - a.pos) AS rk
+            |      FROM ptoks a JOIN ptoks b ON b.doc_id = a.doc_id AND b.term = 'merge'
+            |      WHERE a.term = 'spark')
+            |    WHERE rk = 1 AND abs(d) <= 2 GROUP BY doc_id) f
+            |  JOIN dlq q USING (doc_id) CROSS JOIN stats s)
+            |ORDER BY tscore DESC, doc_id LIMIT 20""".stripMargin)),
+
     GateQuery("bm25_or",
       (s, d) => topKDf(s, d, "spark merge", Nil, 20),
       sql("""SELECT doc_id, round(score, 4) AS score FROM (

@@ -91,23 +91,39 @@ final case class FieldWildcardQuery(field: String, pattern: String) extends Quer
   *    listed term, counting a term once per slot it appears in.
   *
   * Requires an index built `withPositions` (the positional postings are
-  * Lucene's proximity data; an index without them cannot run phrases). */
-final case class PhraseQuery(slots: Seq[(Int, Seq[String])]) extends Query
+  * Lucene's proximity data; an index without them cannot run phrases).
+  *
+  * `slop` > 0 is a SLOPPY phrase (`"a b"~2` syntax — the reference's
+  * StandardQueryParser accepts phrase slop, DocumentMapping.java:120-146).
+  * Semantics (documented variant of Lucene's SloppyPhraseScorer): anchor
+  * on each occurrence of the FIRST slot; every later slot contributes its
+  * occurrence nearest the anchor's expected position (signed displacement
+  * δᵢ, ties to the earlier position); matchLength = max(0, max δᵢ) −
+  * min(0, min δᵢ) — for an ordered match this is the span's extra gaps
+  * and for a 2-term phrase exactly Lucene's |Δactual − Δexpected| (a
+  * transposition costs 2, so `"a b"~2` matches "b a"). An anchor matches
+  * when matchLength ≤ slop and contributes Lucene's sloppyWeight
+  * 1/(1 + matchLength) to the (now fractional) phrase freq. Deviation
+  * from Lucene: the nearest-occurrence choice is per-slot greedy about
+  * the anchor rather than SloppyPhraseScorer's global repositioning —
+  * they differ only when ≥3 slots compete for overlapping occurrence
+  * windows. slop = 0 is the exact phrase (identical plans and scores). */
+final case class PhraseQuery(slots: Seq[(Int, Seq[String])], slop: Int = 0) extends Query
 
 object PhraseQuery {
   /** Build from a position-annotated analysis of the quoted text: group
     * stacked tokens by position into slots. Returns None when the phrase
     * analyzes to nothing (all stopwords — the parser drops the clause),
     * and degenerates to a TermQuery for a single one-term slot, as
-    * Lucene's QueryBuilder does. */
-  def fromAnalysis(a: graft.analysis.PosAnalyzed): Option[Query] = {
+    * Lucene's QueryBuilder does (slop is meaningless for one term). */
+  def fromAnalysis(a: graft.analysis.PosAnalyzed, slop: Int = 0): Option[Query] = {
     if (a.terms.isEmpty) return None
     val slots: Seq[(Int, Seq[String])] = a.terms
       .groupBy(_.pos).toSeq.sortBy(_._1)
       .map { case (p, ts) => (p, ts.map(_.term).distinct.toSeq) }
     slots match {
       case Seq((_, Seq(t))) => Some(TermQuery(t))
-      case s                => Some(PhraseQuery(s))
+      case s                => Some(PhraseQuery(s, slop))
     }
   }
 }
@@ -259,7 +275,7 @@ object QueryText {
     // over Lucene's slash-regexp syntax; only an unambiguous whole-token
     // `/re/` (or `field:/re/`) is treated as a regexp here.
     val tokenRe =
-      ("""([+-])?(?:([A-Za-z_][A-Za-z0-9_.]*):)?"([^"]*)"""" +
+      ("""([+-])?(?:([A-Za-z_][A-Za-z0-9_.]*):)?"([^"]*)"(?:~(\d+))?""" +
         """|([+-])?(?:([A-Za-z_][A-Za-z0-9_.]*):)?/([^/]*)/(?=\s|$)""" +
         """|(\S+)""").r
     var must = List.empty[Query]
@@ -273,29 +289,30 @@ object QueryText {
     }
 
     tokenRe.findAllMatchIn(text).foreach { m =>
-      if (m.group(3) != null) { // quoted span
+      if (m.group(3) != null) { // quoted span, optional ~N phrase slop
         val occ = Option(m.group(1)).map(_.charAt(0)).getOrElse(' ')
         val field = Option(m.group(2))
         val body = m.group(3)
+        val slop = Option(m.group(4)).map(_.toInt).getOrElse(0)
         val node: Option[Query] = field match {
           case Some(f) if keywordFields.contains(f) =>
             Some(FieldMatchQuery(f, body)) // literal (possibly spaced) value
           case _ => // default text field (explicit `text:` or no prefix;
                     // unknown prefixes fall back to the default field)
-            PhraseQuery.fromAnalysis(aPos(body))
+            PhraseQuery.fromAnalysis(aPos(body), slop)
         }
         node.foreach(addNode(occ, _))
-      } else if (m.group(6) != null) { // /regexp/ span
-        val occ = Option(m.group(4)).map(_.charAt(0)).getOrElse(' ')
-        val body = m.group(6)
+      } else if (m.group(7) != null) { // /regexp/ span
+        val occ = Option(m.group(5)).map(_.charAt(0)).getOrElse(' ')
+        val body = m.group(7)
         if (body.nonEmpty) {
-          val node = Option(m.group(5)) match {
+          val node = Option(m.group(6)) match {
             case Some(f) if keywordFields.contains(f) => FieldRegexpQuery(f, body)
             case _ => RegexpQuery(body) // `text:` or unknown prefix → default field
           }
           addNode(occ, node)
         }
-      } else parseWord(m.group(7), analyze, keywordFields, addNode)
+      } else parseWord(m.group(8), analyze, keywordFields, addNode)
     }
     if (must.isEmpty && should.isEmpty && mustNot.isEmpty) MatchAll
     else BoolQuery(must.reverse, should.reverse, mustNot.reverse)

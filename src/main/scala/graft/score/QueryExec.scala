@@ -271,7 +271,8 @@ final class QueryExec(val index: Index, val exact: Boolean = false) {
     if (!slotsAlive || dfMap.isEmpty) return matches(MatchNone, filters)
 
     val freq =
-      if (p.slots.forall(_._2.size == 1)) phraseFreqFast(p, filters)
+      if (p.slop > 0) phraseFreqSloppy(p, filters)
+      else if (p.slots.forall(_._2.size == 1)) phraseFreqFast(p, filters)
       else phraseFreqGeneral(slotTerms, nSlots, filters)
     freq.select(col("docId"),
       (if (exact) Bm25.scoreColExact(col("tf"), col("norm"), lit(sumIdfD), cacheD)
@@ -332,6 +333,59 @@ final class QueryExec(val index: Index, val exact: Boolean = false) {
     joined
       .select(col("docId"), col("norm"), size(baseSet).as("tf"))
       .filter(col("tf") >= 1)
+  }
+
+  /** Sloppy-phrase frequency (slop > 0) — semantics documented on
+    * [[graft.model.PhraseQuery]]: per-anchor greedy nearest-occurrence
+    * matching, matchLength = signed-displacement spread, sloppyWeight
+    * 1/(1+matchLength) accumulated into a fractional freq.
+    *
+    * Plan: same posting-granular leg join as the exact fast path (k
+    * pruned term scans joined on docId), but instead of array_intersect
+    * the per-anchor fold scans each slot's rebased position array for the
+    * nearest occurrence — O(anchors × Σ positions) per candidate doc,
+    * pure per-row array math, no explode and no occurrence-level shuffle.
+    * A synonym-stacked slot unions its alternatives' rebased positions
+    * per doc first (one narrow docId aggregation per stacked slot —
+    * stacks are rare). */
+  private def phraseFreqSloppy(p: PhraseQuery,
+                               filters: Seq[AttrPredicate]): DataFrame = {
+    val legs = p.slots.zipWithIndex.map { case ((rel, ts), i) =>
+      val scan0 = index.postings.filter(
+        if (ts.size == 1) col("term") === ts.head else col("term").isin(ts: _*))
+      val scan = if (i == 0) applyFilters(scan0, filters) else scan0
+      val rebased = transform(col("positions"), x => x - lit(rel))
+      if (ts.size == 1) {
+        val cols = Seq(col("docId")) ++ (if (i == 0) Seq(col("norm")) else Nil) ++
+          Seq(rebased.as(s"base$i"))
+        scan.select(cols: _*)
+      } else {
+        // functions.flatten qualified: the boolean-flattening helper above
+        // shadows it in this scope
+        val aggs = Seq(sort_array(org.apache.spark.sql.functions.flatten(
+          collect_list(rebased))).as(s"base$i")) ++
+          (if (i == 0) Seq(first(col("norm")).as("norm")) else Nil)
+        scan.groupBy("docId").agg(aggs.head, aggs.tail: _*)
+      }
+    }
+    val joined = legs.reduce((a, b) => a.join(b, "docId"))
+    // sloppyWeight of one anchor b0: each later slot's nearest occurrence
+    // (ties → the earlier position — the fold keeps the FIRST minimum of
+    // the ascending array), spread about 0, gate at slop
+    def anchorWeight(b0: Column): Column = {
+      val deltas = (1 until p.slots.size).map { i =>
+        aggregate(col(s"base$i"), lit(Int.MaxValue),
+          (acc, b) => when(abs(b - b0) < abs(acc), b - b0).otherwise(acc))
+      }
+      val ml =
+        if (deltas.isEmpty) lit(0) // degenerate single-slot phrase
+        else greatest((lit(0) +: deltas): _*) - least((lit(0) +: deltas): _*)
+      when(ml <= p.slop, lit(1.0) / (lit(1.0) + ml.cast("double"))).otherwise(lit(0.0))
+    }
+    joined
+      .select(col("docId"), col("norm"),
+        aggregate(col("base0"), lit(0.0), (acc, b0) => acc + anchorWeight(b0)).as("tf"))
+      .filter(col("tf") > 0.0)
   }
 
   /** Multi-term CONSTANT_SCORE rewrite: docs containing any dictionary

@@ -127,6 +127,42 @@ class EngineSpec extends SparkSuite {
     checkParity("\"w0000 w0001\"", Seq(FieldEquals("role", "assistant")), k = 30)
   }
 
+  test("q21 sloppy phrase: ~N window, transposition cost, fractional freq") {
+    import spark.implicits._
+    def turn(i: Int, text: String) = Turn(f"c$i%03d", 0, "user", text, None,
+      new java.sql.Timestamp(1700000000000L + i * 1000))
+    val docs = Seq(
+      turn(0, "alpha beta solo"),               // exact adjacency
+      turn(1, "alpha gap beta"),                // one gap → matchLength 1
+      turn(2, "beta alpha solo"),               // transposed → matchLength 2
+      turn(3, "alpha beta also alpha gap beta"), // exact + sloppy → tf 1.5
+      turn(4, "alpha nothing here at all"),
+      turn(5, "gamma delta")).toDS()
+    val eng = SearchEngine.build(docs, Analyzers.Simple, withPositions = true)
+    val exec = new QueryExec(eng.index)
+    val parseS: String => Query = t => QueryText.parse(t,
+      s => Analyzers.Simple(s).terms,
+      analyzePos = s => Analyzers.Simple.positional(s))
+    def hits(text: String): Seq[Long] =
+      exec.topK(parseS(text), Nil, 10).collect().map(_.getLong(0)).toSeq
+    // parser: quoted span with ~N carries the slop; plain quotes = 0
+    assert(parseS("\"alpha beta\"~2") ===
+      BoolQuery(should = Seq(PhraseQuery(Seq((0, Seq("alpha")), (1, Seq("beta"))), 2))))
+    assert(parseS("\"alpha beta\"") ===
+      BoolQuery(should = Seq(PhraseQuery(Seq((0, Seq("alpha")), (1, Seq("beta"))), 0))))
+    // slop 0 = exact adjacency only
+    assert(hits("\"alpha beta\"").toSet === Set(0L, 3L))
+    // slop 1 admits the one-gap doc, still not the transposition
+    assert(hits("\"alpha beta\"~1").toSet === Set(0L, 1L, 3L))
+    // slop 2 admits the transposition (Lucene: swapping adjacent terms costs 2)
+    assert(hits("\"alpha beta\"~2").toSet === Set(0L, 1L, 2L, 3L))
+    // fractional freq: docs 0 and 1 have identical length (norm) and the
+    // same Σidf weight, so the exact match (weight 1) must outscore the
+    // gapped match (sloppyWeight 1/2)
+    val ordered = hits("\"alpha beta\"~1")
+    assert(ordered.indexOf(0L) < ordered.indexOf(1L))
+  }
+
   test("q17 prohibited-only query matches nothing (Lucene BooleanQuery semantics)") {
     // `-term` alone: no scoring/required leg — matches NOTHING, not
     // "everything except term" (the MatchAll fallback is only for EMPTY
