@@ -64,11 +64,12 @@ object PipelineGate {
     }.mkString(", ")
 
   /** DuckDB replay of the exact-integer IVF build + probe
-    * (AnnIndex.buildIvf / ivfTopK with the gate's defaults: nCells=16,
-    * sampleSize=1024, iters=8, nProbe=4, query=vec 0, k=10). Every
-    * arithmetic step is either integer (order-independent sums) or a
-    * correctly-rounded IEEE double op on exactly-representable integers
-    * (the floor-division mean: all magnitudes < 2^24), so the replay is
+    * (AnnIndex.buildIvf / ivfTopK with the gate's defaults: nCells auto
+    * (~√N), hashed FNV sample (rate ⌊N/1024⌋, cap 4096), iters=8,
+    * nProbe=4, query=vec 0, k=10). Every arithmetic step is either
+    * integer (order-independent sums) or a correctly-rounded IEEE double
+    * op on exactly-representable integers (the floor-division mean: all
+    * magnitudes < 2^24; ceil∘sqrt of an integer count), so the replay is
     * bit-identical to the Scala build. The 8 Lloyd iterations unroll as
     * generated CTE pairs (a_j = assignment, c_{j+1} = re-centered grid
     * centroids; empty cells keep their previous centroid). */
@@ -80,12 +81,17 @@ object PipelineGate {
          |         unnest(generate_series(1, len(embedding))) AS d,
          |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * ${Similarity.QuantScale} + 0.5) AS BIGINT) AS qv
          |  FROM embeddings
-         |), samp AS MATERIALIZED (
+         |), nt AS MATERIALIZED (SELECT count(*) AS n FROM embeddings
+         |), samp0 AS MATERIALIZED (
          |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS rn
-         |  FROM embeddings ORDER BY vec_id LIMIT 1024
+         |  FROM embeddings CROSS JOIN nt
+         |  WHERE ${fnvSql("('ivf-42-' || vec_id)")}
+         |        % CAST(greatest(1, nt.n // 1024) AS HUGEINT) = 0
+         |), samp AS MATERIALIZED (SELECT vec_id, rn FROM samp0 WHERE rn < 4096
          |), km AS MATERIALIZED (
-         |  SELECT count(*) AS n, least(16, count(*)) AS k,
-         |         count(*) // least(16, count(*)) AS stride
+         |  SELECT count(*) AS n,
+         |         least(CAST(ceil(sqrt((SELECT n FROM nt))) AS INT), count(*)) AS k,
+         |         count(*) // least(CAST(ceil(sqrt((SELECT n FROM nt))) AS INT), count(*)) AS stride
          |  FROM samp
          |), sq AS MATERIALIZED (SELECT qd.vec_id, qd.d, qd.qv FROM qd JOIN samp USING (vec_id)),
          |c0 AS MATERIALIZED (

@@ -100,17 +100,20 @@ object AnnIndex {
   // ---------------- IVF ----------------
 
   /** Build an IVF index at `dir`: exact-integer k-means coarse quantizer
-    * trained on a deterministic id-ordered sample (driver-side — the
-    * quantizer is tiny; see Similarity.kmeansCentroidsQ for why every
-    * step is SQL-replayable), every vector assigned to its nearest cell,
-    * written partitionBy(cell); grid centroids stored alongside. */
-  def buildIvf(emb: DataFrame, dir: String, nCells: Int = 16,
-               sampleSize: Int = 1024,
+    * trained on a deterministic HASHED sample (driver-side — the
+    * quantizer is tiny; see Similarity.ivfSampleQ for why the hash pick
+    * beats a lowest-id sample on time-ordered corpora, and
+    * Similarity.kmeansCentroidsQ for why every step is SQL-replayable),
+    * every vector assigned to its nearest cell, written
+    * partitionBy(cell); grid centroids stored alongside.
+    * `nCells <= 0` = auto: ~√N cells (standard IVF sizing). */
+  def buildIvf(emb: DataFrame, dir: String, nCells: Int = 0,
+               sampleSize: Int = 1024, seed: Long = 42L,
                idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
-    val sample = emb.orderBy(col(idCol)).limit(sampleSize)
-      .select(vecCol).collect()
-      .map(r => Similarity.quantize(r.getSeq[Float](0)))
-    val cents = Similarity.kmeansCentroidsQ(sample, math.min(nCells, sample.length))
+    val n = emb.count()
+    val sample = Similarity.ivfSampleQ(emb, n, sampleSize, seed, idCol, vecCol)
+    val cells = if (nCells > 0) nCells else Similarity.autoCells(n)
+    val cents = Similarity.kmeansCentroidsQ(sample, math.min(cells, sample.length))
     val bCents = emb.sparkSession.sparkContext.broadcast(cents)
     val cellUdf = udf((v: Seq[Float]) =>
       Similarity.nearestCentroidQ(Similarity.quantize(v), bCents.value))

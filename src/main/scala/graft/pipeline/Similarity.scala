@@ -110,6 +110,30 @@ object Similarity {
     * (grid spacing 1e-4 ≪ cell radii; recall pinned in PipelineSpec). */
   val QuantScale = 10000
 
+  /** Default coarse-quantizer cell count: ~√N (standard IVF practice —
+    * balances cells scanned per probe against vectors per cell). */
+  def autoCells(n: Long): Int =
+    math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
+
+  /** Deterministic HASHED quantizer training sample: rows where
+    * FNV-1a64("ivf-&lt;seed&gt;-&lt;id&gt;") mod max(1, ⌊N/sampleSize⌋) = 0,
+    * id-ordered, capped at 4·sampleSize rows (a bounded collect — the
+    * expected size is ~sampleSize). Hash-selected, NOT lowest-id: a
+    * lowest-id sample is biased whenever ids correlate with content
+    * (time-ordered corpora — the usual case), which skews every centroid
+    * toward the oldest data. The FNV pick keeps the whole build
+    * SQL-replayable (the ann_ivf oracle reproduces the sample exactly). */
+  private[pipeline] def ivfSampleQ(emb: DataFrame, n: Long, sampleSize: Int,
+                                   seed: Long, idCol: String,
+                                   vecCol: String): Array[Array[Long]] = {
+    val rate = math.max(1L, n / sampleSize)
+    val pick = udf((id: Long) =>
+      java.lang.Long.remainderUnsigned(Dedup.fnv1a64(s"ivf-$seed-$id"), rate) == 0L)
+    emb.filter(pick(col(idCol))).orderBy(col(idCol)).limit(4 * sampleSize)
+      .select(vecCol).collect()
+      .map(r => quantize(r.getSeq[Float](0)))
+  }
+
   /** Quantize a float vector onto the integer grid (identical arithmetic
     * to the SQL replay: exact float→double widening, one double multiply,
     * floor(x+0.5)). */
@@ -182,17 +206,16 @@ object Similarity {
       (i, d)
     }.sortBy { case (i, d) => (d, i) }.take(nProbe).map(_._1)
 
-  /** IVF top-k for one query vector. */
+  /** IVF top-k for one query vector. `nCells <= 0` = auto (~√N). */
   def ivfTopK(emb: DataFrame, query: Array[Float], k: Int,
-              nCells: Int = 16, nProbe: Int = 4, sampleSize: Int = 1024,
-              idCol: String = "vec_id",
+              nCells: Int = 0, nProbe: Int = 4, sampleSize: Int = 1024,
+              seed: Long = 42L, idCol: String = "vec_id",
               vecCol: String = "embedding", excludeId: Option[Long] = None): DataFrame = {
     val base = excludeId.map(i => emb.filter(col(idCol) =!= i)).getOrElse(emb)
-    // deterministic sample: lowest ids
-    val sample = base.orderBy(col(idCol)).limit(sampleSize)
-      .select(vecCol).collect()
-      .map(r => quantize(r.getSeq[Float](0)))
-    val cents = kmeansCentroidsQ(sample, math.min(nCells, sample.length))
+    val n = base.count()
+    val sample = ivfSampleQ(base, n, sampleSize, seed, idCol, vecCol)
+    val cells = if (nCells > 0) nCells else autoCells(n)
+    val cents = kmeansCentroidsQ(sample, math.min(cells, sample.length))
     val bCents = base.sparkSession.sparkContext.broadcast(cents)
     val cellUdf = udf((v: Seq[Float]) => nearestCentroidQ(quantize(v), bCents.value))
     val probeCells = probeCellsQ(quantize(query), cents, nProbe)

@@ -48,7 +48,7 @@ class GateSpec extends SparkSuite {
           "planes", "qsig", "q", "e", "bands", "bb", "cand",
           // ann_ivf oracle CTEs (the 8 unrolled Lloyd iterations are
           // a0..a7 / c0..c8; the FROM-regex strips the digit)
-          "qd", "samp", "km", "sq", "acell", "pc", "qe",
+          "qd", "samp", "samp0", "nt", "km", "sq", "acell", "pc", "qe",
           // doc_chunks / doc_repetition / dedup_clusters oracle CTEs
           "starts", "bg", "bc", "pairs", "edges", "reach", "tf", "dfq", "nd", "b",
           "qpass", "drops", "kept",

@@ -53,6 +53,41 @@ class PipelineSpec extends SparkSuite {
     assert((brute intersect ivf).size >= 3, s"ivf overlap ${(brute intersect ivf).size}")
   }
 
+  test("IVF: hashed quantizer sample covers a time-ordered corpus (no id bias)") {
+    import spark.implicits._
+    // ids CORRELATE with content: the first 1024 ids cluster near 0.5,
+    // the last 1024 near 5.0 — a lowest-id training sample (the round-4
+    // scheme) would never see the second cluster
+    val dim = 8
+    val rows = (0L until 2048L).map { i =>
+      val c = if (i < 1024) 0.5f else 5.0f
+      (i, Array.tabulate(dim)(d => c +
+        java.lang.Long.remainderUnsigned(Dedup.fnv1a64(s"e-$i-$d"), 1000L) / 10000.0f))
+    }
+    val tEmb = rows.toDF("vec_id", "embedding")
+    // the hashed sample (rate = 2048/256 = 8) draws from BOTH halves
+    val sample = Similarity.ivfSampleQ(tEmb, 2048L, 256, 42L, "vec_id", "embedding")
+    assert(sample.length > 128 && sample.length < 1024, s"sample ${sample.length}")
+    val lo = sample.count(_.head < 25000L) // quantized: 0.5→~5000, 5.0→~50000
+    val hi = sample.length - lo
+    assert(lo > sample.length / 8 && hi > sample.length / 8,
+      s"biased sample: lo=$lo hi=$hi of ${sample.length}")
+    // a build over it quantizes both clusters and a probe into the
+    // late-id cluster recovers the brute-force top-k from the right cells
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-bias").toString
+    AnnIndex.buildIvf(tEmb, dir) // auto cells = ⌈√2048⌉ = 46
+    val cents = AnnIndex.readCentroids(dir)
+    assert(cents.exists(_.head < 25000L) && cents.exists(_.head >= 25000L),
+      "centroids do not span both clusters")
+    val q = Array.fill(dim)(5.05f)
+    val brute = Similarity.bruteForceTopK(tEmb, q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val ivf = AnnIndex.ivfTopK(spark, dir, q, 10, nProbe = 12)
+      .collect().map(_.getLong(0)).toSet
+    assert(ivf.forall(_ >= 1024L), s"probe strayed into the early-id cluster: $ivf")
+    assert((brute intersect ivf).size >= 5, s"recall ${(brute intersect ivf).size}/10")
+  }
+
   test("materialized LSH index: probe prunes partitions and matches the scan-based result") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ann-test").toString
     AnnIndex.buildLsh(emb, dir)
