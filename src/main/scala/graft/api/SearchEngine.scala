@@ -267,16 +267,30 @@ final class SearchEngine(val index: Index) {
 
   /** Reference-shaped facet JSON:
     * {"aggregations":{dim:{"buckets":{label:{"doc_count":n}}}}}
-    * (reference: FacetedDimension.java:70-88). */
-  def facetJson(req: SearchRequest, dimensions: Seq[String], maxLabels: Int = 10): String = {
-    val dims = facetStrings(req, dimensions, maxLabels)
+    * for string dimensions, and range dimensions additionally carry the
+    * bucket's bounds — {label:{"doc_count":n,"from":lo,"to":hi}} —
+    * mirroring the reference's LongRange bucket serialization
+    * (reference: FacetedDimension.java:70-88 adds `from`/`to` inside each
+    * range bucket). Range buckets keep their request order (the reference
+    * serializes ranges in the order the request listed them). */
+  def facetJson(req: SearchRequest, dimensions: Seq[String], maxLabels: Int = 10,
+                rangeDims: Seq[(String, Seq[(String, Long, Long)])] = Nil): String = {
+    val dims = if (dimensions.isEmpty && rangeDims.nonEmpty) Map.empty[String, Seq[(String, Long)]]
+               else facetStrings(req, dimensions, maxLabels)
     val body = dims.map { case (dim, labels) =>
       val buckets = labels
         .map { case (l, n) => s""""$l":{"doc_count":$n}""" }
         .mkString("{", ",", "}")
       s""""$dim":{"buckets":$buckets}"""
-    }.mkString(",")
-    s"""{"aggregations":{$body}}"""
+    }
+    val rangeBody = rangeDims.map { case (field, ranges) =>
+      val counts = facetRanges(req, field, ranges).toMap
+      val buckets = ranges.map { case (label, lo, hi) =>
+        s""""$label":{"doc_count":${counts(label)},"from":$lo,"to":$hi}"""
+      }.mkString("{", ",", "}")
+      s""""$field":{"buckets":$buckets}"""
+    }
+    s"""{"aggregations":{${(body ++ rangeBody).mkString(",")}}}"""
   }
 }
 

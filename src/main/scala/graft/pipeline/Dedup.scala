@@ -402,19 +402,71 @@ object Dedup {
       .where(size(col("w")) > 0)
       .select(col("id"), simhashUdf(col("w")).as("simhash"))
 
-  /** SimHash near-dup pairs with Hamming distance ≤ maxDist: block on the
-    * 4 16-bit chunks (any pair within distance 3 shares at least one
-    * chunk exactly — pigeonhole), verify with popcount. */
+  /** SimHash near-dup pairs with Hamming distance ≤ maxDist, Manku-style
+    * multi-block pigeonhole blocking (Manku, Jain, Das Sarma, WWW'07):
+    * split the 64 bits into `nBlocks` (> maxDist) chunks; a pair within
+    * distance d differs in at most d chunks, so it AGREES EXACTLY on some
+    * (nBlocks − d)-subset of chunks — block on every such subset
+    * (C(nBlocks, nBlocks−d) tables, key = the subset's chunk bits
+    * concatenated), verify candidates with popcount. Blocking is LOSSLESS
+    * for any valid block count: the pair set is identical for every
+    * nBlocks, only the candidate volume changes.
+    *
+    * Scale knob: nBlocks=4 at d=3 keys on single 16-bit chunks — fine
+    * until bucket occupancy n/2^16 makes within-bucket candidate
+    * generation quadratic (~10^8 docs); [[simhashBlocks]] picks the
+    * smallest nBlocks whose key space keeps expected occupancy bounded
+    * (nBlocks=6 → 31-bit keys, ~10^12 docs) at the cost of more tables. */
   def simhashPairs(df: DataFrame, maxDist: Int = 3,
-                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val fp = simhash(df, idCol, textCol)
-    val chunkArr = array((0 until 4).map(c =>
-      shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xffffL))): _*)
-    val chunked = fp.select(col("id"), col("simhash"),
-      posexplode(chunkArr).as(Seq("chunk", "cv")))
-    val l = chunked.toDF("ida", "ha", "chunk", "cv")
-    val r = chunked.toDF("idb", "hb", "chunk", "cv")
-    l.join(r, Seq("chunk", "cv"))
+                   idCol: String = "doc_id", textCol: String = "text",
+                   nBlocks: Int = 4): DataFrame =
+    simhashPairsFromFingerprints(simhash(df, idCol, textCol), maxDist, nBlocks)
+
+  /** Bit widths of the `nBlocks` chunks of a 64-bit fingerprint (as even
+    * as possible; the low-index chunks take the remainder bits). */
+  private def blockWidths(nBlocks: Int): Array[Int] =
+    Array.tabulate(nBlocks)(i => 64 / nBlocks + (if (i < 64 % nBlocks) 1 else 0))
+
+  /** Smallest block count (> maxDist) whose per-table key space keeps the
+    * expected bucket occupancy n/2^keyBits at or under `targetOccupancy`
+    * — the scale-adaptive choice for [[simhashPairs]]. Capped at
+    * maxDist + 5: the table count C(k, k−d) (row replication factor)
+    * grows fast, and at that cap the key space already exceeds 2^31. */
+  def simhashBlocks(n: Long, maxDist: Int = 3, targetOccupancy: Long = 1024L): Int = {
+    def keyBits(k: Int): Int = {
+      val m = k - maxDist // chunks per blocking key
+      blockWidths(k).sorted.take(m).sum // worst (smallest) subset key
+    }
+    var k = maxDist + 1
+    while (k < maxDist + 5 &&
+      (n >> math.min(62, keyBits(k))) > targetOccupancy) k += 1
+    k
+  }
+
+  /** [[simhashPairs]] over an existing (id, simhash) fingerprint frame. */
+  def simhashPairsFromFingerprints(fp: DataFrame, maxDist: Int = 3,
+                                   nBlocks: Int = 4): DataFrame = {
+    require(nBlocks > maxDist && nBlocks <= 64,
+      s"pigeonhole blocking needs maxDist < nBlocks <= 64, got $nBlocks at d=$maxDist")
+    val widths = blockWidths(nBlocks)
+    val offsets = widths.scanLeft(0)(_ + _)
+    def chunk(i: Int): Column =
+      shiftright(col("simhash"), offsets(i)).bitwiseAND(lit((1L << widths(i)) - 1))
+    // one blocking key per (nBlocks − maxDist)-subset of chunks: the
+    // subset's chunk values packed into one long (≤ 64 − maxDist·minWidth
+    // bits), tagged with the subset index — an 16-byte join key
+    val subsets = (0 until nBlocks).combinations(nBlocks - maxDist).toSeq
+    val keys = array(subsets.zipWithIndex.map { case (s, t) =>
+      struct(lit(t).as("tbl"),
+        s.foldLeft(lit(0L)) { (acc, i) =>
+          shiftleft(acc, widths(i)).bitwiseOR(chunk(i))
+        }.as("kv"))
+    }: _*)
+    val keyed = fp.select(col("id"), col("simhash"), explode(keys).as("e"))
+      .select(col("id"), col("simhash"), col("e.tbl").as("tbl"), col("e.kv").as("kv"))
+    val l = keyed.toDF("ida", "ha", "tbl", "kv")
+    val r = keyed.toDF("idb", "hb", "tbl", "kv")
+    l.join(r, Seq("tbl", "kv"))
       .where(col("ida") < col("idb"))
       .select("ida", "idb", "ha", "hb").distinct()
       .withColumn("dist", bit_count(col("ha").bitwiseXOR(col("hb"))))

@@ -106,6 +106,26 @@ class ApiSpec extends SparkSuite {
     assert(json.contains("doc_count"))
   }
 
+  test("facet JSON: range buckets carry from/to keys in request order") {
+    val t0 = 1767225600000L
+    val ranges = Seq(("early", 0L, t0 + 3600000L), ("late", t0 + 3600000L, Long.MaxValue / 2))
+    val req = SearchRequest(text = Some("ambiguous"))
+    val json = engine.facetJson(req, Nil, rangeDims = Seq("ts" -> ranges))
+    val counts = engine.facetRanges(req, "ts", ranges).toMap
+    // exact reference wire shape (FacetedDimension.java:70-88: doc_count
+    // first, then the LongRange's min/max as from/to), buckets in request
+    // order, no string dims mixed in when none were requested
+    assert(json ===
+      s"""{"aggregations":{"ts":{"buckets":{""" +
+      s""""early":{"doc_count":${counts("early")},"from":0,"to":${t0 + 3600000L}},""" +
+      s""""late":{"doc_count":${counts("late")},"from":${t0 + 3600000L},"to":${Long.MaxValue / 2}}}}}}""")
+    assert(counts.values.sum > 0)
+    // string + range dims combine under one aggregations object
+    val both = engine.facetJson(req, Seq("role"), rangeDims = Seq("ts" -> ranges))
+    assert(both.contains(""""role":{"buckets":{"""))
+    assert(both.contains(""""ts":{"buckets":{"early":{"doc_count":"""))
+  }
+
   test("maintenance: delete removes docs from results and stats") {
     val before = engine.search(SearchRequest(text = Some("needle_3"), maxResults = 5))
     val victim = before.hits.head.docId

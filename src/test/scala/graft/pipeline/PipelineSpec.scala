@@ -53,6 +53,39 @@ class PipelineSpec extends SparkSuite {
     assert((brute intersect ivf).size >= 3, s"ivf overlap ${(brute intersect ivf).size}")
   }
 
+  test("simhash blocking is lossless at any block count (Manku pigeonhole)") {
+    import spark.implicits._
+    // synthetic fingerprints with planted near-dups: groups of 4 prints
+    // derived from one base by flipping 0..3 distinct bits — every
+    // within-group pair is within distance 6, many within 3
+    val fps: Seq[(Long, Long)] = (0 until 400).map { i =>
+      val base = Dedup.fnv1a64(s"fp-${i / 4}")
+      val flips = i % 4
+      val start = (java.lang.Long.remainderUnsigned(
+        Dedup.fnv1a64(s"p-${i / 4}"), 52L)).toInt
+      val flipped = (0 until flips).foldLeft(base)((f, b) => f ^ (1L << (start + 3 * b)))
+      (i.toLong, flipped)
+    }
+    val brute = (for {
+      a <- fps; b <- fps if a._1 < b._1
+      d = java.lang.Long.bitCount(a._2 ^ b._2) if d <= 3
+    } yield (a._1, b._1, d)).toSet
+    assert(brute.nonEmpty)
+    val fpDf = fps.toDF("id", "simhash")
+    // identical output at the default, an uneven-width, and a wide config
+    Seq(4, 5, 6).foreach { k =>
+      val got = Dedup.simhashPairsFromFingerprints(fpDf, 3, nBlocks = k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got === brute, s"nBlocks=$k diverged (recall must be 1.0)")
+    }
+    // the adaptive chooser widens the key space as the corpus grows:
+    // 16-bit single-chunk keys until ~6.7e7 docs, 25-bit 2-chunk keys
+    // beyond, 31-bit 3-chunk keys at trillion scale
+    assert(Dedup.simhashBlocks(100000L) === 4)
+    assert(Dedup.simhashBlocks(1L << 30) === 5)
+    assert(Dedup.simhashBlocks(1L << 40) === 6)
+  }
+
   test("IVF: hashed quantizer sample covers a time-ordered corpus (no id bias)") {
     import spark.implicits._
     // ids CORRELATE with content: the first 1024 ids cluster near 0.5,
