@@ -251,6 +251,8 @@ object Bench {
     // round-4: the round-3 operators join the frozen set so phrase /
     // fuzzy / regexp latency is tracked round-over-round
     "q_phrase" -> "\"w0000 w0001\"",
+    // round-5: sloppy phrase joins the frozen set
+    "q_phrase_slop" -> "\"w0000 w0001\"~2",
     "q_fuzzy" -> "hydrgen~2",
     "q_regexp" -> "/need.e_[0-9]/")
 
