@@ -109,6 +109,50 @@ object Json {
       joinFetch = joinFetch)
   }
 
+  /** Parse the reference's facet-request `dimensions` array
+    * (SearchBucket.java:687-747 parseDimensions):
+    * `[{"dimension":"role"},
+    *   {"dimension":"ts","ranges":[{"from":1,"to":2,"key":"lbl"}]}]`
+    * → (string dimensions, range dimensions). Reference semantics kept:
+    * a missing `from`/`to` defaults to Long.Min/MaxValue, the default
+    * label is `"<from>-<to>"`, bounds are lower-inclusive
+    * upper-exclusive (LongRange(label, lower, true, upper, false)), and
+    * a `dimension` key is required. The JSON may be the whole search
+    * request or just the object carrying `dimensions`. */
+  def parseDimensions(json: String): (Seq[String], Seq[(String, Seq[(String, Long, Long)])]) = {
+    val root = JsonMethods.parse(json)
+    (root \ "dimensions") match {
+      case JArray(dims) =>
+        val parsed = dims.map { d =>
+          val dim = (d \ "dimension") match {
+            case JString(s) => s
+            case _ => sys.error(s"'dimension' not specified for facet request $d")
+          }
+          val ranges = (d \ "ranges") match {
+            case JArray(rs) => Some(rs.map { r =>
+              def bound(key: String, dflt: Long): Long = (r \ key) match {
+                case JInt(i)  => i.toLong
+                case JLong(l) => l
+                case _        => dflt
+              }
+              val lo = bound("from", Long.MinValue)
+              val hi = bound("to", Long.MaxValue)
+              val label = (r \ "key") match {
+                case JString(s) => s
+                case _          => s"$lo-$hi"
+              }
+              (label, lo, hi)
+            })
+            case _ => None
+          }
+          (dim, ranges)
+        }
+        (parsed.collect { case (d, None) => d },
+          parsed.collect { case (d, Some(rs)) => (d, rs) })
+      case _ => (Nil, Nil)
+    }
+  }
+
   private def esc(s: String): String = s.flatMap {
     case '"'           => "\\\""
     case '\\'          => "\\\\"

@@ -63,6 +63,14 @@ object VerifyDrive {
     // facet single-pass through the facade
     println("== facets (single pass) ==")
     println(engine.facetJson(graft.model.SearchRequest(text = Some("ambiguous")), Seq("role", "tool")))
+    println("== facet request wire shape: dimensions + ranges (from/to buckets) ==")
+    val (fdims, frange) = graft.api.Json.parseDimensions(
+      """{"dimensions":[{"dimension":"role"},
+        |  {"dimension":"ts","ranges":[
+        |    {"from":1767225600000,"to":1767225603600000,"key":"early"},
+        |    {"from":1767225603600000}]}]}""".stripMargin)
+    println(engine.facetJson(graft.model.SearchRequest(text = Some("ambiguous")),
+      fdims, rangeDims = frange))
     // timeout path: generous budget → Right
     println("== searchWithTimeout 30s ==")
     println(engine.searchWithTimeout(graft.model.SearchRequest(text = Some("needle_3")), 30)

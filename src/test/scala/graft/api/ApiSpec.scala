@@ -106,6 +106,28 @@ class ApiSpec extends SparkSuite {
     assert(json.contains("doc_count"))
   }
 
+  test("facet request wire shape: dimensions array with ranges parses like the reference") {
+    // SearchBucket.java:687-747: 'dimension' required, missing from/to →
+    // Long.MIN/MAX, default label "<from>-<to>", 'key' overrides
+    val (dims, rangeDims) = Json.parseDimensions(
+      """{"dimensions":[
+        |  {"dimension":"role"},
+        |  {"dimension":"tool"},
+        |  {"dimension":"ts","ranges":[
+        |     {"from":100,"to":200,"key":"early"},
+        |     {"from":200},
+        |     {"to":100}]}]}""".stripMargin)
+    assert(dims === Seq("role", "tool"))
+    assert(rangeDims === Seq("ts" -> Seq(
+      ("early", 100L, 200L),
+      (s"200-${Long.MaxValue}", 200L, Long.MaxValue),
+      (s"${Long.MinValue}-100", Long.MinValue, 100L))))
+    // no dimensions key → empty (the endpoint then string-facets sparsely)
+    assert(Json.parseDimensions("""{"query":{"text":"x"}}""") === ((Nil, Nil)))
+    // a missing 'dimension' key is a request error, like the reference's 400
+    intercept[RuntimeException](Json.parseDimensions("""{"dimensions":[{"ranges":[]}]}"""))
+  }
+
   test("facet JSON: range buckets carry from/to keys in request order") {
     val t0 = 1767225600000L
     val ranges = Seq(("early", 0L, t0 + 3600000L), ("late", t0 + 3600000L, Long.MaxValue / 2))

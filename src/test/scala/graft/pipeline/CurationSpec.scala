@@ -101,6 +101,23 @@ class CurationSpec extends SparkSuite {
     assert(subset === kept.map(_._1).filter(_ < 100).toSet)
   }
 
+  test("stratifiedSample thresholds are exact at 10^-6 for rates like 0.29") {
+    import spark.implicits._
+    val rows = (0L until 3000L).map(i => (i, "en")).toDF("doc_id", "lang")
+    val kept = Curation.stratifiedSample(rows, "lang", Map("en" -> 0.29))
+      .collect().map(_.getLong(0)).toSet
+    // replicate the keep rule with the EXACT threshold 290000 (a binary
+    // double product truncates to 289999 — rows whose bucket is exactly
+    // 289999 would flip); assert the row SET, not just the count
+    val expect = (0L until 3000L).filter { i =>
+      java.lang.Long.remainderUnsigned(Dedup.fnv1a64(s"ss-42-$i"), 1000000L) < 290000L
+    }.toSet
+    assert(kept === expect)
+    // the boundary bucket is only meaningful if some row lands near it —
+    // sanity: the kept fraction is within 5pp of the rate
+    assert(math.abs(kept.size / 3000.0 - 0.29) < 0.05)
+  }
+
   test("pipeline: end-to-end composition equals the stage-by-stage operators") {
     val dd = docs
     val cfg = Curation.CurationConfig(
