@@ -313,6 +313,62 @@ object Gate {
             |WHERE s.term = 'merge' AND d.lang = 'en' AND d.source <> 'src0'
             |ORDER BY score DESC, s.doc_id LIMIT 20""".stripMargin)),
 
+    // StandardQueryParser boolean structure (reference parses user query
+    // strings with full Lucene syntax, DocumentMapping.java:120-146):
+    // parens group, uppercase AND binds operands to MUST
+    GateQuery("bm25_grouped",
+      (s, d) => topKDf(s, d, "(spark OR merge) AND vector", Nil, 20),
+      sql("""SELECT doc_id, round(score, 4) AS score FROM (
+            |  SELECT doc_id, sum(tscore) AS score,
+            |    max(CASE WHEN term IN ('spark','merge') THEN 1 ELSE 0 END) AS g0,
+            |    max(CASE WHEN term = 'vector' THEN 1 ELSE 0 END) AS g1
+            |  FROM scores WHERE term IN ('spark','merge','vector') GROUP BY doc_id)
+            |WHERE g0 = 1 AND g1 = 1
+            |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // `^N` boost on a term — Lucene BoostQuery folds the boost into the
+    // leaf weight (weight = boost × idf), so the oracle multiplies the
+    // idf BEFORE the tf normalization, in the engine's exact op order
+    GateQuery("bm25_boost_term",
+      (s, d) => topKDf(s, d, "spark^2 merge", Nil, 20),
+      sql("""SELECT doc_id, round(score, 4) AS score FROM (
+            |  SELECT p.doc_id, sum(
+            |    (CASE WHEN p.term = 'spark' THEN 2.0 ELSE 1.0 END
+            |       * ln(1 + (s.n - t.df + 0.5) / (t.df + 0.5)))
+            |    * p.tf / (p.tf + 1.2 * (0.25 + 0.75 * q.dlq / s.avgdl))) AS score
+            |  FROM post p JOIN dlq q USING (doc_id) JOIN tstat t USING (term)
+            |  CROSS JOIN stats s
+            |  WHERE p.term IN ('spark','merge') GROUP BY p.doc_id)
+            |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // boost on a GROUP distributes into its leaves (BooleanWeight passes
+    // its boost to every scoring sub-weight) and composes with a MUST leg
+    GateQuery("bm25_boost_group",
+      (s, d) => topKDf(s, d, "(spark merge)^2 +vector", Nil, 20),
+      sql("""SELECT doc_id, round(score, 4) AS score FROM (
+            |  SELECT p.doc_id, sum(
+            |    (CASE WHEN p.term IN ('spark','merge') THEN 2.0 ELSE 1.0 END
+            |       * ln(1 + (s.n - t.df + 0.5) / (t.df + 0.5)))
+            |    * p.tf / (p.tf + 1.2 * (0.25 + 0.75 * q.dlq / s.avgdl))) AS score,
+            |    max(CASE WHEN p.term = 'vector' THEN 1 ELSE 0 END) AS m0
+            |  FROM post p JOIN dlq q USING (doc_id) JOIN tstat t USING (term)
+            |  CROSS JOIN stats s
+            |  WHERE p.term IN ('spark','merge','vector') GROUP BY p.doc_id)
+            |WHERE m0 = 1
+            |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // boost on a constant-score fielded leg: the clause scores `boost`
+    // instead of 1.0 next to a BM25 term (recursive union path)
+    GateQuery("bm25_boost_field",
+      (s, d) => topKDf(s, d, "tool:src1^3 spark", Nil, 20),
+      sql("""SELECT doc_id, round(score, 4) AS score FROM (
+            |  SELECT doc_id, sum(sc) AS score FROM (
+            |    SELECT doc_id, tscore AS sc FROM scores WHERE term = 'spark'
+            |    UNION ALL
+            |    SELECT doc_id, 3.0 AS sc FROM documents WHERE source = 'src1')
+            |  GROUP BY doc_id)
+            |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
+
     GateQuery("range_value_double",
       // double-range predicate (reference: SearchBucket.java:568-589),
       // lower inclusive / upper exclusive, pushed to the parquet scan

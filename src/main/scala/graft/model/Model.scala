@@ -194,6 +194,17 @@ final case class FieldFuzzyQuery(field: String, value: String,
   * filters on role while `role:user text` boosts role matches by 1. */
 final case class FieldMatchQuery(field: String, value: String) extends Query
 
+/** Score-multiplying boost from `^N` query syntax — Lucene BoostQuery
+  * (the reference's StandardQueryParser accepts `term^2`, `"a b"~1^2`,
+  * `field:v^2` and `(grouped)^2`, DocumentMapping.java:120-146).
+  * Execution semantics follow Lucene's boost PROPAGATION: BooleanWeight
+  * hands its boost down to every scoring sub-weight, so nested boosts
+  * multiply into the leaves — a BM25-scored leaf multiplies its float
+  * index weight (weight = boost × (float)idf, BM25Similarity.scorer),
+  * a constant-score leaf scores `boost` instead of 1.0, and non-scoring
+  * legs (MUST_NOT) ignore boosts entirely. */
+final case class Boosted(q: Query, boost: Float) extends Query
+
 /** Boolean combination; scores = sum of matching must+should clause
   * scores; filter and mustNot contribute nothing to the score. */
 final case class BoolQuery(
@@ -240,12 +251,24 @@ object QueryText {
   /** Attribute columns addressable as `field:value` in query strings. */
   val KeywordFields: Set[String] = Set("role", "tool", "conv_id")
 
-  /** Mini query-string parser covering the reference surface required by
-    * the north rule plus quoted phrases: bare terms (default OR), `+term`
-    * (MUST), `-term` (MUST_NOT), `field:value` qualified terms, and
-    * `"a phrase"` / `+"a phrase"` / `text:"a phrase"` quoted spans
-    * (reference default-OR StandardQueryParser configured at
-    * DocumentMapping.java:120-146; field and phrase syntax parsed there).
+  /** Query-string parser covering the reference surface required by the
+    * north rule: bare terms (default OR), `+term` (MUST), `-term`
+    * (MUST_NOT), `field:value` qualified terms, `"a phrase"` /
+    * `"a phrase"~N` quoted spans, `/re/` regexps, `term~`/`term~N` fuzzy —
+    * plus the StandardQueryParser's boolean-structure syntax (reference
+    * default-OR StandardQueryParser, DocumentMapping.java:120-146;
+    * grammar: StandardSyntaxParser.jj — Query := DisjQuery+, DisjQuery :=
+    * ConjQuery (OR ConjQuery)*, ConjQuery := ModClause (AND ModClause)*):
+    *
+    *  - `( … )` grouping, with an optional occur prefix (`+(a b)`) and
+    *    trailing boost (`(a b)^2`);
+    *  - uppercase `AND`/`&&`, `OR`/`||`, `NOT`/`!` operators (lowercase
+    *    `and`/`or`/`not` stay ordinary terms, exactly as in Lucene);
+    *    under AND, unmodified operands become MUST; under OR (and the
+    *    default whitespace sequence), SHOULD; `NOT x` ≡ `-x`;
+    *  - `^N` boosts on words, quoted spans (after slop: `"a b"~1^2`),
+    *    fielded values and groups → [[Boosted]] nodes.
+    *
     * `text:word` targets the analyzed default field explicitly; a keyword
     * field (`role:`, `tool:`, `conv_id:`) becomes a FieldMatchQuery;
     * an unknown prefix is NOT treated as a field — the whole word is
@@ -254,7 +277,12 @@ object QueryText {
     * becomes a SHOULD group at that position. A quoted span analyzes
     * POSITIONALLY (via `analyzePos`, defaulting to contiguous positions
     * over `analyze` — correct for stop/synonym-free chains) into a
-    * [[PhraseQuery]]; a quoted keyword-field value is a literal match. */
+    * [[PhraseQuery]]; a quoted keyword-field value is a literal match.
+    *
+    * Leniency (the reference surfaces a parse failure as a 400; this
+    * parser never throws): a stray operator with no operand is dropped,
+    * an unmatched `)` is skipped, an unmatched `(` group extends to the
+    * end of the input. */
   def parse(text: String, analyze: String => Array[String],
             keywordFields: Set[String] = KeywordFields,
             analyzePos: String => graft.analysis.PosAnalyzed = null): Query = {
@@ -265,35 +293,41 @@ object QueryText {
         val ts = analyze(s)
         PosAnalyzed(ts.zipWithIndex.map { case (t, i) => PosTerm(t, i) }, ts.length)
       }
+
+    // ---- lexer ----------------------------------------------------
     // tokens: optionally-occur-prefixed, optionally-field-prefixed quoted
-    // spans or /slash/ regexp spans, else non-space runs (the word path
-    // below handles their own occur/field prefixes). A regexp span must
-    // END the token (lookahead): path-shaped field values like
-    // `location_exact:/dls/*/data/20??/ab*` keep their slashes literal —
-    // the reference escapes `/` in user text before parsing
-    // (SearchBucket.java:200-204), so in its service paths always win
-    // over Lucene's slash-regexp syntax; only an unambiguous whole-token
-    // `/re/` (or `field:/re/`) is treated as a regexp here.
+    // spans or /slash/ regexp spans; parens (open may carry an occur
+    // prefix, close may carry a boost); else non-space non-paren runs
+    // (the word path handles its own occur/field/boost suffixes). A
+    // regexp span must END the token or abut a `)` (lookahead):
+    // path-shaped field values like `location_exact:/dls/*/data/20??/ab*`
+    // keep their slashes literal — the reference escapes `/` in user text
+    // before parsing (SearchBucket.java:200-204), so in its service paths
+    // always win over Lucene's slash-regexp syntax; only an unambiguous
+    // whole-token `/re/` (or `field:/re/`) is treated as a regexp here.
     val tokenRe =
-      ("""([+-])?(?:([A-Za-z_][A-Za-z0-9_.]*):)?"([^"]*)"(?:~(\d+))?""" +
-        """|([+-])?(?:([A-Za-z_][A-Za-z0-9_.]*):)?/([^/]*)/(?=\s|$)""" +
-        """|(\S+)""").r
-    var must = List.empty[Query]
-    var should = List.empty[Query]
-    var mustNot = List.empty[Query]
+      ("""([+-])?(?:([A-Za-z_][A-Za-z0-9_.]*):)?"([^"]*)"(?:~(\d+))?(?:\^(\d+(?:\.\d+)?))?""" +
+        """|([+-])?(?:([A-Za-z_][A-Za-z0-9_.]*):)?/([^/]*)/(?=[\s)]|$)""" +
+        """|([+-])?\(""" +
+        """|\)(?:\^(\d+(?:\.\d+)?))?""" +
+        """|([^\s()]+)""").r
 
-    def addNode(occ: Char, n: Query): Unit = occ match {
-      case '+' => must ::= n
-      case '-' => mustNot ::= n
-      case _   => should ::= n
-    }
+    sealed trait Tok
+    final case class TClause(occ: Char, q: Query) extends Tok
+    final case class TLParen(occ: Char) extends Tok
+    final case class TRParen(boost: Option[Float]) extends Tok
+    case object TAnd extends Tok
+    case object TOr extends Tok
+    case object TNot extends Tok
 
+    val toks = scala.collection.mutable.ArrayBuffer.empty[Tok]
     tokenRe.findAllMatchIn(text).foreach { m =>
-      if (m.group(3) != null) { // quoted span, optional ~N phrase slop
+      if (m.group(3) != null) { // quoted span, optional ~N slop + ^B boost
         val occ = Option(m.group(1)).map(_.charAt(0)).getOrElse(' ')
         val field = Option(m.group(2))
         val body = m.group(3)
         val slop = Option(m.group(4)).map(_.toInt).getOrElse(0)
+        val boost = Option(m.group(5)).map(_.toFloat)
         val node: Option[Query] = field match {
           case Some(f) if keywordFields.contains(f) =>
             Some(FieldMatchQuery(f, body)) // literal (possibly spaced) value
@@ -301,31 +335,139 @@ object QueryText {
                     // unknown prefixes fall back to the default field)
             PhraseQuery.fromAnalysis(aPos(body), slop)
         }
-        node.foreach(addNode(occ, _))
-      } else if (m.group(7) != null) { // /regexp/ span
-        val occ = Option(m.group(5)).map(_.charAt(0)).getOrElse(' ')
-        val body = m.group(7)
+        node.foreach(n => toks += TClause(occ, boostWrap(n, boost)))
+      } else if (m.group(8) != null) { // /regexp/ span
+        val occ = Option(m.group(6)).map(_.charAt(0)).getOrElse(' ')
+        val body = m.group(8)
         if (body.nonEmpty) {
-          val node = Option(m.group(6)) match {
+          val node = Option(m.group(7)) match {
             case Some(f) if keywordFields.contains(f) => FieldRegexpQuery(f, body)
             case _ => RegexpQuery(body) // `text:` or unknown prefix → default field
           }
-          addNode(occ, node)
+          toks += TClause(occ, node)
         }
-      } else parseWord(m.group(8), analyze, keywordFields, addNode)
+      } else if (m.group(11) != null) { // word (maybe an operator keyword)
+        m.group(11) match {
+          case "AND" | "&&" => toks += TAnd
+          case "OR" | "||"  => toks += TOr
+          case "NOT" | "!"  => toks += TNot
+          case w0 =>
+            // a leading `!` is the NOT operator lexed tight (`!term`)
+            val w = if (w0.length > 1 && w0.charAt(0) == '!') {
+              toks += TNot; w0.substring(1)
+            } else w0
+            parseWord(w, analyze, keywordFields)
+              .foreach { case (occ, q) => toks += TClause(occ, q) }
+        }
+      } else if (m.group(0).endsWith("(")) {
+        toks += TLParen(Option(m.group(9)).map(_.charAt(0)).getOrElse(' '))
+      } else { // `)` with optional boost
+        toks += TRParen(Option(m.group(10)).map(_.toFloat))
+      }
     }
-    if (must.isEmpty && should.isEmpty && mustNot.isEmpty) MatchAll
-    else BoolQuery(must.reverse, should.reverse, mustNot.reverse)
+
+    // ---- recursive-descent parser over the token stream ------------
+    var i = 0
+    def peek: Tok = if (i < toks.length) toks(i) else null
+    def atEnd(stop: Boolean): Boolean =
+      i >= toks.length || (stop && toks(i).isInstanceOf[TRParen])
+
+    def buildBool(cs: Seq[(Char, Query)]): Query = BoolQuery(
+      must = cs.collect { case ('+', q) => q },
+      should = cs.collect { case (' ', q) => q },
+      mustNot = cs.collect { case ('-', q) => q })
+
+    def parseMod(stop: Boolean): Option[(Char, Query)] = peek match {
+      case TNot => i += 1; parseMod(stop).map { case (_, q) => ('-', q) }
+      case TClause(occ, q) => i += 1; Some((occ, q))
+      case TLParen(occ) =>
+        i += 1
+        val inner = parseSeq(stop = true)
+        val boost = peek match {
+          case TRParen(b) => i += 1; b
+          case _ => None // unmatched `(` — group ran to end of input
+        }
+        if (inner.isEmpty) None
+        else {
+          // a single unmodified child collapses (Lucene GroupQueryNode)
+          val q0 = inner match {
+            case Seq((' ', q)) => q
+            case cs            => buildBool(cs)
+          }
+          Some((occ, boostWrap(q0, boost)))
+        }
+      case TAnd | TOr => i += 1; None // stray operator: drop (lenient)
+      case _ => None // end of input / at `)`
+    }
+
+    def parseConj(stop: Boolean): Option[(Char, Query)] = {
+      val cs = scala.collection.mutable.ArrayBuffer.empty[(Char, Query)]
+      parseMod(stop).foreach(cs += _)
+      while (!atEnd(stop) && peek == TAnd) {
+        i += 1
+        if (!atEnd(stop)) parseMod(stop).foreach(cs += _)
+      }
+      if (cs.isEmpty) None
+      else if (cs.size == 1) Some(cs.head)
+      else Some((' ', BoolQuery( // AND: unmodified operands become MUST
+        must = cs.collect { case (('+' | ' '), q) => q }.toSeq,
+        mustNot = cs.collect { case ('-', q) => q }.toSeq)))
+    }
+
+    def parseDisj(stop: Boolean): Option[(Char, Query)] = {
+      val cs = scala.collection.mutable.ArrayBuffer.empty[(Char, Query)]
+      parseConj(stop).foreach(cs += _)
+      while (!atEnd(stop) && peek == TOr) {
+        i += 1
+        parseConj(stop).foreach(cs += _)
+      }
+      if (cs.isEmpty) None
+      else if (cs.size == 1) Some(cs.head)
+      else Some((' ', buildBool(cs.toSeq))) // OR: unmodified → SHOULD
+    }
+
+    def parseSeq(stop: Boolean): Seq[(Char, Query)] = {
+      val cs = scala.collection.mutable.ArrayBuffer.empty[(Char, Query)]
+      while (!atEnd(stop)) {
+        val before = i
+        parseDisj(stop).foreach(cs += _)
+        if (i == before) i += 1 // always progress (stray `)` at top level)
+      }
+      cs.toSeq
+    }
+
+    val clauses = parseSeq(stop = false)
+    if (clauses.isEmpty) MatchAll
+    else buildBool(clauses) match {
+      // a lone unmodified boolean clause needs no outer wrapper (Lucene
+      // collapses single-child booleans —
+      // BooleanSingleChildOptimizationQueryNodeProcessor); this also
+      // keeps `a AND b` ≡ `+a +b` structurally
+      case BoolQuery(Nil, Seq(b: BoolQuery), Nil, Nil) => b
+      case top                                         => top
+    }
   }
 
-  /** The unquoted-word path of [[parse]] (unchanged semantics). */
+  /** Wrap in [[Boosted]] unless the boost is absent or the identity. */
+  private def boostWrap(q: Query, boost: Option[Float]): Query =
+    boost.filter(_ != 1.0f).map(Boosted(q, _)).getOrElse(q)
+
+  /** Trailing `^N` boost suffix on an unquoted word (`term^2`,
+    * `field:v^2`, `term~1^2` — boost binds last, after slop/fuzzy). */
+  private val wordBoostRe = """^(.*[^^])\^(\d+(?:\.\d+)?)$""".r
+
+  /** The unquoted-word path of [[parse]]: returns the occur modifier and
+    * the parsed node (None when the word analyzes to nothing). */
   private def parseWord(w: String, analyze: String => Array[String],
-                        keywordFields: Set[String],
-                        addNode: (Char, Query) => Unit): Unit = {
-      val (occ, rawBody) =
+                        keywordFields: Set[String]): Option[(Char, Query)] = {
+      val (occ, rawBody0) =
         if (w.startsWith("+")) ('+', w.substring(1))
         else if (w.startsWith("-")) ('-', w.substring(1))
         else (' ', w)
+      val (rawBody, boost) = rawBody0 match {
+        case wordBoostRe(b, f) => (b, Some(f.toFloat))
+        case _                 => (rawBody0, None)
+      }
       // field-qualified? strip a `text:` prefix; keyword fields match raw
       val colon = rawBody.indexOf(':')
       val (fieldOpt, body) =
@@ -362,7 +504,7 @@ object QueryText {
               else Some(BoolQuery(should = terms.toSeq.map(TermQuery(_))))
           }
       }
-      node.foreach(addNode(occ, _))
+      node.map(n => (occ, boostWrap(n, boost)))
   }
 
   /** Detect Lucene fuzzy syntax on a word: `base~` (maxEdits 2) or

@@ -44,27 +44,35 @@ final class NaiveOracle(docs: Seq[NaiveOracle.Doc]) {
   def df(term: String): Long = postings.get(term).map(_.size.toLong).getOrElse(0L)
 
   /** Lucene 8.11 BM25 per-term score, recomputed here from the published
-    * formula (same op order as BM25Scorer; see Bm25 scaladoc). */
-  private def termScore(term: String, d: Doc): Option[Float] =
+    * formula (same op order as BM25Scorer; see Bm25 scaladoc). `boost` is
+    * the propagated query boost: weight = boost × (float)idf. */
+  private def termScore(term: String, d: Doc, boost: Float): Option[Float] =
     postings.get(term).flatMap(_.get(d.docId)).map { tf =>
       val idfD = math.log(1d + (docCount - df(term) + 0.5d) / (df(term) + 0.5d))
-      val weight = idfD.toFloat
+      val weight = boost * idfD.toFloat
       val dl = SmallFloat.byte4ToInt(normByte(d)).toFloat
       val norm: Double = (1.2f * ((1 - 0.75f) + 0.75f * dl / avgdlF)).toDouble
       (weight - weight / (1d + tf.toFloat / norm)).toFloat
     }
 
   /** Evaluate a query against one doc: Some(score) when it matches. */
-  def scoreDoc(q: Query, d: Doc): Option[Float] = q match {
-    case MatchAll     => Some(1.0f)
+  def scoreDoc(q: Query, d: Doc): Option[Float] = scoreDoc(q, d, 1.0f)
+
+  /** Boost-propagating evaluation — Lucene BoostQuery semantics: the
+    * boost multiplies down into every scoring leaf (BooleanWeight hands
+    * its boost to each sub-weight); constant-score leaves score `boost`;
+    * MUST_NOT legs are non-scoring and ignore it. */
+  private def scoreDoc(q: Query, d: Doc, boost: Float): Option[Float] = q match {
+    case Boosted(q2, b) => scoreDoc(q2, d, boost * b)
+    case MatchAll     => Some(boost)
     case MatchNone    => None
-    case TermQuery(t) => termScore(t, d)
+    case TermQuery(t) => termScore(t, d, boost)
     case w: WildcardQuery =>
       val re = w.regex.r
-      if (d.terms.exists(t => re.findFirstIn(t).isDefined)) Some(1.0f) else None
+      if (d.terms.exists(t => re.findFirstIn(t).isDefined)) Some(boost) else None
     case r: RegexpQuery =>
       val re = r.regex.r
-      if (d.terms.exists(t => re.findFirstIn(t).isDefined)) Some(1.0f) else None
+      if (d.terms.exists(t => re.findFirstIn(t).isDefined)) Some(boost) else None
     case r: FieldRegexpQuery =>
       val re = r.regex.r
       val value: Option[String] = r.field match {
@@ -73,9 +81,9 @@ final class NaiveOracle(docs: Seq[NaiveOracle.Doc]) {
         case "conv_id" => Some(d.convId)
         case other     => sys.error(s"unknown keyword field $other")
       }
-      if (value.exists(v => re.findFirstIn(v).isDefined)) Some(1.0f) else None
-    case p: PhraseQuery => phraseScore(p, d)
-    case f: FuzzyQuery  => fuzzyScore(f, d)
+      if (value.exists(v => re.findFirstIn(v).isDefined)) Some(boost) else None
+    case p: PhraseQuery => phraseScore(p, d, boost)
+    case f: FuzzyQuery  => fuzzyScore(f, d, boost)
     case f: FieldFuzzyQuery =>
       val value: Option[String] = f.field match {
         case "role"    => Some(d.role)
@@ -84,7 +92,7 @@ final class NaiveOracle(docs: Seq[NaiveOracle.Doc]) {
         case other     => sys.error(s"unknown keyword field $other")
       }
       if (value.exists(v => NaiveOracle.editDistance(v, f.value, f.transpositions) <= f.maxEdits))
-        Some(1.0f)
+        Some(boost)
       else None
     case FieldMatchQuery(f, v) =>
       val m = f match {
@@ -93,7 +101,7 @@ final class NaiveOracle(docs: Seq[NaiveOracle.Doc]) {
         case "conv_id" => d.convId == v
         case other     => sys.error(s"unknown keyword field $other")
       }
-      if (m) Some(1.0f) else None
+      if (m) Some(boost) else None
     case w: FieldWildcardQuery =>
       val re = w.regex.r
       val value: Option[String] = w.field match {
@@ -102,13 +110,13 @@ final class NaiveOracle(docs: Seq[NaiveOracle.Doc]) {
         case "conv_id" => Some(d.convId)
         case other     => sys.error(s"unknown keyword field $other")
       }
-      if (value.exists(v => re.findFirstIn(v).isDefined)) Some(1.0f) else None
+      if (value.exists(v => re.findFirstIn(v).isDefined)) Some(boost) else None
     case BoolQuery(must, should, mustNot, filter) =>
       if (!filter.forall(matchesAttr(_, d))) return None
-      if (mustNot.exists(scoreDoc(_, d).isDefined)) return None
-      val mustScores = must.map(scoreDoc(_, d))
+      if (mustNot.exists(scoreDoc(_, d, 1.0f).isDefined)) return None
+      val mustScores = must.map(scoreDoc(_, d, boost))
       if (mustScores.exists(_.isEmpty)) return None
-      val shouldScores = should.flatMap(scoreDoc(_, d))
+      val shouldScores = should.flatMap(scoreDoc(_, d, boost))
       val all = mustScores.flatten ++ shouldScores
       if (all.isEmpty) {
         // no scoring clauses at all: a pure-FILTER query matches all, but a
@@ -116,7 +124,7 @@ final class NaiveOracle(docs: Seq[NaiveOracle.Doc]) {
         // matches NOTHING — Lucene BooleanQuery semantics; the reference's
         // MatchAll fallback applies only to EMPTY queries
         // (SearchBucket.java:636-642).
-        if (must.isEmpty && should.isEmpty && mustNot.isEmpty) Some(1.0f) else None
+        if (must.isEmpty && should.isEmpty && mustNot.isEmpty) Some(boost) else None
       } else {
         var acc = 0d
         all.foreach(s => acc += s)
@@ -128,7 +136,7 @@ final class NaiveOracle(docs: Seq[NaiveOracle.Doc]) {
     * base offsets where every slot has an alternative at base + relPos;
     * BM25 with tf = that count and weight = Σ idf per (slot, term) listed
     * occurrence present in the index. Naive nested loops by design. */
-  private def phraseScore(p: PhraseQuery, d: Doc): Option[Float] = {
+  private def phraseScore(p: PhraseQuery, d: Doc, boost: Float = 1.0f): Option[Float] = {
     val termsAt: Map[Int, Set[String]] =
       d.posTerms.groupBy(_.pos).map { case (k, v) => k -> v.map(_.term).toSet }
     val p0 = p.slots.head._1
@@ -148,7 +156,7 @@ final class NaiveOracle(docs: Seq[NaiveOracle.Doc]) {
       .filter(_ > 0)
       .map(dfT => math.log(1d + (docCount - dfT + 0.5d) / (dfT + 0.5d)))
       .sum
-    val weight = sumIdf.toFloat
+    val weight = boost * sumIdf.toFloat
     val dl = SmallFloat.byte4ToInt(normByte(d)).toFloat
     val norm: Double = (1.2f * ((1 - 0.75f) + 0.75f * dl / avgdlF)).toDouble
     Some((weight - weight / (1d + freq.toFloat / norm)).toFloat)
@@ -159,8 +167,8 @@ final class NaiveOracle(docs: Seq[NaiveOracle.Doc]) {
     * maxEdits, top-maxExpansions by (boost desc, term asc), df blended to
     * the expansion max, score = Σ boost × BM25(tf, blended idf) over the
     * doc's matching expanded terms. */
-  private def fuzzyScore(f: FuzzyQuery, d: Doc): Option[Float] = {
-    if (f.maxEdits <= 0) return termScore(f.term, d)
+  private def fuzzyScore(f: FuzzyQuery, d: Doc, qBoost: Float = 1.0f): Option[Float] = {
+    if (f.maxEdits <= 0) return termScore(f.term, d, qBoost)
     val prefix = f.term.substring(0, math.min(f.prefixLength, f.term.length))
     val expansion: Seq[(String, Double)] = postings.keys.toSeq
       .filter(_.startsWith(prefix))
@@ -179,7 +187,7 @@ final class NaiveOracle(docs: Seq[NaiveOracle.Doc]) {
     val norm: Double = (1.2f * ((1 - 0.75f) + 0.75f * dl / avgdlF)).toDouble
     val perTerm = expansion.flatMap { case (t, boost) =>
       postings.get(t).flatMap(_.get(d.docId)).map { tf =>
-        val weight = boost.toFloat * idfD.toFloat
+        val weight = (qBoost * boost.toFloat) * idfD.toFloat
         (weight - weight / (1d + tf.toFloat / norm)).toFloat
       }
     }

@@ -41,7 +41,11 @@ final class QueryExec(val index: Index, val exact: Boolean = false) {
 
   /** A flattened boolean query: MUST groups (a group matches when any of
     * its terms match — the multi-token-analysis/synonym case), flat
-    * SHOULD terms, flat MUST_NOT terms.
+    * SHOULD terms, flat MUST_NOT terms. Every scoring term carries its
+    * cumulative boost (Lucene propagates boosts into leaf weights —
+    * BooleanWeight hands its boost to every scoring sub-weight — so a
+    * `Boosted` wrapper distributes multiplicatively while flattening;
+    * MUST_NOT legs are non-scoring and drop boosts).
     *
     * Documented rounding deviation: flattening a nested pure-SHOULD group
     * folds its terms into ONE double-accumulated sum, whereas Lucene (and
@@ -52,21 +56,24 @@ final class QueryExec(val index: Index, val exact: Boolean = false) {
     * per nesting level). The recursive path (used whenever flattening
     * fails) matches the reference's clause-boundary rounding exactly. */
   private final case class Flat(
-      mustGroups: Seq[Seq[String]], should: Seq[String], mustNot: Seq[String])
+      mustGroups: Seq[Seq[(String, Float)]], should: Seq[(String, Float)],
+      mustNot: Seq[String])
 
   private def flatten(q: BoolQuery): Option[Flat] = {
-    def asTerms(n: Query): Option[Seq[String]] = n match {
-      case TermQuery(t) => Some(Seq(t))
+    def asTerms(n: Query, b: Float): Option[Seq[(String, Float)]] = n match {
+      case TermQuery(t)     => Some(Seq((t, b)))
+      case Boosted(q2, b2)  => asTerms(q2, b * b2)
       case BoolQuery(Nil, sh, Nil, Nil) =>
-        val ts = sh.map { case TermQuery(t) => Some(t); case _ => None }
-        if (ts.forall(_.isDefined)) Some(ts.map(_.get)) else None
+        val ts = sh.map(asTerms(_, b))
+        if (ts.forall(_.isDefined)) Some(ts.flatMap(_.get)) else None
       case _ => None
     }
-    val must = q.must.map(asTerms)
-    val should = q.should.map(asTerms)
-    val mustNot = q.mustNot.map(asTerms)
+    val must = q.must.map(asTerms(_, 1.0f))
+    val should = q.should.map(asTerms(_, 1.0f))
+    val mustNot = q.mustNot.map(asTerms(_, 1.0f))
     if ((must ++ should ++ mustNot).forall(_.isDefined))
-      Some(Flat(must.map(_.get), should.flatMap(_.get), mustNot.flatMap(_.get)))
+      Some(Flat(must.map(_.get), should.flatMap(_.get),
+        mustNot.flatMap(_.get).map(_._1)))
     else None
   }
 
@@ -89,16 +96,20 @@ final class QueryExec(val index: Index, val exact: Boolean = false) {
 
   /** Broadcast frame of (term, groupId, weightF) for the query's terms.
     * df is read from the termStats table (collected: query terms are few,
-    * mirroring Lucene reading per-term stats at query-plan time). */
-  private def weightsFrame(termGroups: Seq[(String, Int)]): DataFrame = {
+    * mirroring Lucene reading per-term stats at query-plan time). The
+    * per-term weight folds the clause boost in exactly Lucene's float op
+    * order: weight = boost × (float)idf (BM25Similarity.scorer receives
+    * the propagated boost); the exact/double path mirrors it so the
+    * DuckDB oracle can replay `boost * ln(…)` literally. */
+  private def weightsFrame(termGroups: Seq[(String, Int, Float)]): DataFrame = {
     val terms = termGroups.map(_._1).distinct
     val dfMap: Map[String, Long] = index.termStats
       .filter(col("term").isin(terms: _*))
       .select("term", "df").as[(String, Long)].collect().toMap
-    val rows = termGroups.flatMap { case (t, g) =>
+    val rows = termGroups.flatMap { case (t, g, b) =>
       dfMap.get(t).map { df =>
         val idfD = Bm25.idf(index.stats.docCount, df)
-        (t, g, idfD.toFloat, idfD)
+        (t, g, b * idfD.toFloat, b.toDouble * idfD)
       }
     }
     spark.createDataFrame(rows).toDF("term", "groupId", "weightF", "weightD")
@@ -182,6 +193,8 @@ final class QueryExec(val index: Index, val exact: Boolean = false) {
       }
       applyFilters(index.corpus.filter(cond), filters)
         .select(col("docId"), one.as("score"))
+    case Boosted(q2, b) =>
+      matchesBoosted(q2, b, filters)
     case bq: BoolQuery =>
       // Lucene BooleanQuery with ONLY prohibited clauses matches nothing:
       // the reference falls back to MatchAllDocsQuery only when the query
@@ -199,12 +212,39 @@ final class QueryExec(val index: Index, val exact: Boolean = false) {
       }
   }
 
+  /** Boosted evaluation — Lucene BoostQuery semantics (see
+    * [[graft.model.Boosted]]): the boost PROPAGATES into scoring leaves
+    * (BooleanWeight passes its boost to every scoring sub-weight), so a
+    * boolean distributes the factor into its must/should clauses
+    * (MUST_NOT is non-scoring), a BM25 leaf folds it into the index
+    * weight, and a constant-score leaf scores `boost` instead of 1.0. */
+  private def matchesBoosted(q: Query, boost: Float,
+                             filters: Seq[AttrPredicate]): DataFrame = {
+    if (boost == 1.0f) return matches(q, filters)
+    def constScore: Column = if (exact) lit(boost.toDouble) else lit(boost)
+    q match {
+      case Boosted(q2, b2) => matchesBoosted(q2, boost * b2, filters)
+      case bq: BoolQuery =>
+        matches(bq.copy(
+          must = bq.must.map(Boosted(_, boost)),
+          should = bq.should.map(Boosted(_, boost))), filters)
+      case t: TermQuery =>
+        matches(BoolQuery(should = Seq(Boosted(t, boost))), filters)
+      case p: PhraseQuery => phraseMatches(p, filters, boost)
+      case f: FuzzyQuery  => fuzzyMatches(f, filters, boost)
+      case MatchNone      => matches(MatchNone, filters)
+      case constantScored => // MatchAll / field / wildcard / regexp legs
+        matches(constantScored, filters).withColumn("score", constScore)
+    }
+  }
+
   /** Single-pass path: one postings scan, one aggregation. */
   private def flatMatches(f: Flat, filters: Seq[AttrPredicate]): DataFrame = {
-    val termGroups: Seq[(String, Int)] =
-      f.mustGroups.zipWithIndex.flatMap { case (g, i) => g.map(t => (t, i)) } ++
-        f.should.map(t => (t, OccShould)) ++
-        f.mustNot.map(t => (t, OccNot))
+    val termGroups: Seq[(String, Int, Float)] =
+      f.mustGroups.zipWithIndex.flatMap { case (g, i) =>
+        g.map { case (t, b) => (t, i, b) } } ++
+        f.should.map { case (t, b) => (t, OccShould, b) } ++
+        f.mustNot.map(t => (t, OccNot, 1.0f))
     if (termGroups.isEmpty) return matches(MatchAll, filters)
     val weights = weightsFrame(termGroups)
     val nMust = f.mustGroups.size
@@ -248,7 +288,8 @@ final class QueryExec(val index: Index, val exact: Boolean = false) {
     * (MultiPhraseWeight sums termStatistics per slot occurrence). Two
     * narrow-key shuffles, both partial-aggregated map-side; the scan reads
     * only the phrase's terms at 100 TB exactly like a term query. */
-  private def phraseMatches(p: PhraseQuery, filters: Seq[AttrPredicate]): DataFrame = {
+  private def phraseMatches(p: PhraseQuery, filters: Seq[AttrPredicate],
+                            boost: Float = 1.0f): DataFrame = {
     require(index.hasPositions,
       "phrase query over an index built without positions — rebuild with withPositions = true")
     // (term, slot index, relative position) — one row per slot alternative
@@ -275,8 +316,12 @@ final class QueryExec(val index: Index, val exact: Boolean = false) {
       else if (p.slots.forall(_._2.size == 1)) phraseFreqFast(p, filters)
       else phraseFreqGeneral(slotTerms, nSlots, filters)
     freq.select(col("docId"),
-      (if (exact) Bm25.scoreColExact(col("tf"), col("norm"), lit(sumIdfD), cacheD)
-       else Bm25.scoreCol(col("tf"), col("norm"), lit(sumIdfD.toFloat), cache))
+      // weight = boost × Σidf — MultiPhraseWeight under a propagated
+      // boost (1.0f × x ≡ x, so the unboosted path is bit-unchanged)
+      (if (exact) Bm25.scoreColExact(col("tf"), col("norm"),
+        lit(boost.toDouble * sumIdfD), cacheD)
+       else Bm25.scoreCol(col("tf"), col("norm"),
+        lit(boost * sumIdfD.toFloat), cache))
         .as("score"))
   }
 
@@ -411,8 +456,10 @@ final class QueryExec(val index: Index, val exact: Boolean = false) {
     * scan (filtered to the expanded terms, like any term query) → per-row
     * boost × BM25 with the blended idf → one aggregation by docId summing
     * matched expansions (BOOLEAN_REWRITE: SHOULD clauses sum). */
-  private def fuzzyMatches(f: FuzzyQuery, filters: Seq[AttrPredicate]): DataFrame = {
-    if (f.maxEdits <= 0) return matches(TermQuery(f.term), filters)
+  private def fuzzyMatches(f: FuzzyQuery, filters: Seq[AttrPredicate],
+                           qBoost: Float = 1.0f): DataFrame = {
+    if (f.maxEdits <= 0)
+      return matchesBoosted(TermQuery(f.term), qBoost, filters)
     val q = f.term
     val distUdf = udf((t: String) =>
       graft.model.EditDistance.bounded(t, q, f.maxEdits, f.transpositions))
@@ -434,12 +481,14 @@ final class QueryExec(val index: Index, val exact: Boolean = false) {
 
     val blendedDf = expansion.map(_.getLong(1)).max
     val idfD = Bm25.idf(index.stats.docCount, blendedDf)
-    // per-term weight = boost × idf: float×float in Lucene's float path
-    // (BM25Weight receives the BoostQuery boost), double×double in exact
-    // mode so the DuckDB oracle reproduces it
+    // per-term weight = (queryBoost × expansionBoost) × idf: float×float
+    // in Lucene's float path (the propagated boost multiplies the
+    // per-expansion BoostQuery boost before BM25Weight sees it),
+    // double×double in exact mode so the DuckDB oracle reproduces it
     val rows = expansion.map { r =>
       val boost = r.getDouble(2)
-      (r.getString(0), boost.toFloat * idfD.toFloat, boost * idfD)
+      (r.getString(0), (qBoost * boost.toFloat) * idfD.toFloat,
+        (qBoost.toDouble * boost) * idfD)
     }.toSeq
     val weights = spark.createDataFrame(rows).toDF("term", "weightF", "weightD")
     val terms = rows.map(_._1)

@@ -114,9 +114,12 @@ class FuzzySpec extends SparkSuite {
     assert(p("SARK~1") === BoolQuery(should = Seq(FuzzyQuery("sark", 1))))
     assert(p("+sark~0") === BoolQuery(must = Seq(FuzzyQuery("sark", 0))))
     assert(p("role:usr~1") === BoolQuery(should = Seq(FieldFuzzyQuery("role", "usr", 1))))
-    // out-of-range / malformed suffix: not fuzzy syntax — analyzed as text
-    assert(p("sark~3") === BoolQuery(should =
-      Seq(BoolQuery(should = Seq(TermQuery("sark"), TermQuery("3"))))))
+    // out-of-range / malformed suffix: not fuzzy syntax — analyzed as
+    // text (the multi-token SHOULD group is the whole query, so the
+    // single-child boolean collapses — Lucene
+    // BooleanSingleChildOptimizationQueryNodeProcessor semantics)
+    assert(p("sark~3") ===
+      BoolQuery(should = Seq(TermQuery("sark"), TermQuery("3"))))
     assert(p("~sark") === BoolQuery(should = Seq(TermQuery("sark"))))
   }
 
