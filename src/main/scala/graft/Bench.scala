@@ -262,8 +262,16 @@ object Bench {
     // 24000 convs ≈ 780k turns: large enough that the parallel sections
     // (analyze, shuffle, write) dominate fixed driver/job overheads
     val numConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "24000").toLong
-    val loCores = 8
-    val hiCores = 32
+    // N→4N core pair for the scaling section (north rule: N and 4N
+    // executors). Default 8→32 for round-over-round comparability;
+    // SPARK_GRAFT_BENCH_CORES="4,16" records a supplementary pair that
+    // stays clear of the host's measured 8→32 delivery ceiling (the ALU
+    // probe reads ~0.9 across that boundary — hypervisor-level, not
+    // guest-visible; BASELINE.md).
+    val Array(loCores, hiCores) = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_CORES", "8,32").split(",").map(_.trim.toInt)
+    require(hiCores == 4 * loCores,
+      s"scaling pair must be N,4N — got $loCores,$hiCores")
     val tmp = scratch
 
     // ---- scaling evidence: same build at lo and hi cores, alternated
