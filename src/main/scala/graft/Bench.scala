@@ -538,7 +538,7 @@ object Bench {
         scalingJson(withWindows = false) + "," +
         s""""ann_lsh_index_bytes":$annIndexBytes,""" +
         s""""latency":{"p50":${"%.3f".format(pct(0.5))},"p95":${"%.3f".format(pct(0.95))}},""" +
-        s""""full_artifact":"bench_local/full_bench.json"}"""
+        s""""full_artifact":"${sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_local/full_bench.json")}"}"""
     println(jsonCompact)
     spark.stop()
     // reclaim the (possibly tmpfs) scratch space

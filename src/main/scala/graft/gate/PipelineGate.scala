@@ -174,6 +174,37 @@ object PipelineGate {
       Some("""SELECT min(doc_id) AS keep_id, count(*) AS grp_size FROM documents
              |GROUP BY substr(text, 1, 80) HAVING count(*) > 1 ORDER BY keep_id""".stripMargin)),
 
+    // exact duplicated-substring spans (Lee et al. 2022 exact-substring
+    // criterion at 8-token-window granularity): the oracle groups by the
+    // gram STRING where the engine groups by xxhash64(gram) — equality
+    // also certifies the hash-key trade collision-free on this corpus
+    GateQuery("dedup_substring",
+      (s, d) => Dedup.duplicateSpans(docs(s, d), n = 8, minDocs = 2)
+        .orderBy("id", "span_start"),
+      Some("""WITH arr AS (
+             |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS w
+             |  FROM documents
+             |), wins AS (
+             |  SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+7], ' ') AS g
+             |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i
+             |        FROM arr WHERE len(w) >= 8)
+             |), dupg AS (
+             |  SELECT g FROM wins GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+             |), dwin AS (
+             |  SELECT w.doc_id, w.pos FROM wins w JOIN dupg USING (g)
+             |), brks AS (
+             |  SELECT doc_id, pos,
+             |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+             |         THEN 0 ELSE 1 END AS brk
+             |  FROM dwin
+             |), isl AS (
+             |  SELECT doc_id, pos,
+             |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+             |  FROM brks)
+             |SELECT doc_id AS id, min(pos) AS span_start, max(pos) + 8 AS span_end,
+             |  count(*) AS n_windows
+             |FROM isl GROUP BY doc_id, grp ORDER BY id, span_start""".stripMargin)),
+
     GateQuery("neardup_jaccard",
       // cap=128 exercises the capped-exact skew-guard path (rare self-join
       // + hot-array correction); the result must still hash-match the

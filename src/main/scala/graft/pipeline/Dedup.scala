@@ -67,6 +67,54 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
       .select("keep_id", "dup_count")
 
+  /** Exact duplicated-SUBSTRING spans — Lee et al. 2022 ("Deduplicating
+    * Training Data Makes Language Models Better") exact-substring
+    * criterion, at fixed token-window granularity: suffix arrays do not
+    * distribute, so the scale-standard approximation is length-`n` token
+    * windows. A window whose content occurs in ≥ `minDocs` DISTINCT
+    * documents is duplicated; per document, overlapping/adjacent
+    * duplicated windows coalesce into maximal half-open
+    * `[span_start, span_end)` token spans. Returns
+    * (id, span_start, span_end, n_windows) — callers cut or drop the
+    * spans (boilerplate headers, licence blocks, templated turns).
+    *
+    * Plan at 100 TB: tokenize (narrow) → per-doc window-hash array in ONE
+    * `transform` over `sequence` (xxhash64 of the joined token slice —
+    * the 8-byte-key trade [[exact]] documents: a cross-doc collision
+    * needs equal xxhash64 on different grams, ~2^-64 per pair) →
+    * posexplode to (id, pos, h) → one hash-keyed countDistinct for the
+    * duplicated-window set → shuffle join back on h (both sides 8-byte
+    * keys; the duplicated set is usually far smaller than the window
+    * stream) → per-doc gaps-and-islands coalesce (lag/running-sum window
+    * by id + one aggregation). Nothing is quadratic and no full text
+    * bytes enter any exchange. */
+  def duplicateSpans(df: DataFrame, n: Int = 8, minDocs: Int = 2,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(n >= 2 && minDocs >= 2, s"need n >= 2 and minDocs >= 2; got n=$n minDocs=$minDocs")
+    import org.apache.spark.sql.expressions.Window
+    val wins = spread(df)
+      .select(col(idCol).as("id"), tokensCol(col(textCol)).as("w"))
+      .where(size(col("w")) >= n)
+      .select(col("id"), posexplode(when(size(col("w")) >= n, // guard as in shingleSetsFromTokens
+        transform(sequence(lit(1), size(col("w")) - lit(n - 1)),
+          i => xxhash64(concat_ws(" ", slice(col("w"), i, lit(n))))))
+        .otherwise(array().cast("array<long>"))).as(Seq("pos", "h")))
+    val dup = wins.groupBy("h")
+      .agg(countDistinct(col("id")).as("ndocs"))
+      .filter(col("ndocs") >= minDocs)
+      .select("h")
+    val byDoc = Window.partitionBy("id").orderBy("pos")
+    wins.join(dup, "h")
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(byDoc) <= n, lit(0)).otherwise(lit(1)))
+      .withColumn("grp", sum("brk").over(byDoc))
+      .groupBy(col("id"), col("grp"))
+      .agg(min("pos").as("span_start"),
+        (max("pos") + lit(n)).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("id"), col("span_start"), col("span_end"), col("n_windows"))
+  }
+
   /** Per-document distinct shingle sets: (id, set: array<string>, sz).
     * The distinct is `array_distinct` BEFORE any explode — shingle sets
     * are per-document, so deduplication never needs a shuffle, and the

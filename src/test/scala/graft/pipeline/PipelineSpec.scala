@@ -372,4 +372,39 @@ class PipelineSpec extends SparkSuite {
     // component {2,5,8} keeps 2; every unpaired doc survives
     assert(kept === Set(1L, 2L, 3L, 4L, 6L, 7L, 9L, 10L))
   }
+
+  test("duplicateSpans: cross-doc runs coalesce; within-doc repeats and short docs don't count") {
+    import spark.implicits._
+    val shared = (1 to 10).map(k => s"dup$k").mkString(" ") // 10-token shared block
+    val corpus = Seq(
+      (1L, s"alpha beta $shared gamma delta"),              // block at tokens [2,12)
+      (2L, s"$shared zeta"),                                // block at tokens [0,10)
+      (3L, "unique tokens only here nothing shared at all"),// 8 tokens, unique
+      (4L, "short text"),                                   // < n tokens: no windows
+      (5L, "rep rep rep rep rep rep rep rep rep")           // repeats only WITHIN one doc
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(corpus, n = 8, minDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+    // a 10-token block at offset s yields 3 overlapping 8-windows
+    // (s, s+1, s+2) that coalesce to [s, s+10); doc 5's identical windows
+    // live in ONE doc, so countDistinct(doc) = 1 < minDocs and it's out
+    assert(got === Set((1L, 2, 12, 3L), (2L, 0, 10, 3L)))
+  }
+
+  test("duplicateSpans: disjoint duplicated runs stay separate spans") {
+    import spark.implicits._
+    val b1 = (1 to 8).map(k => s"x$k").mkString(" ")
+    val b2 = (1 to 8).map(k => s"y$k").mkString(" ")
+    val mid = (1 to 9).map(k => s"m$k").mkString(" ") // > n gap keeps spans apart
+    val corpus = Seq(
+      (1L, s"$b1 $mid $b2"),
+      (2L, s"$b1 tail is all different here one two three"),
+      (3L, s"head goes differently four five six seven $b2")
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(corpus, n = 8, minDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+    assert(got === Set(
+      (1L, 0, 8, 1L), (1L, 17, 25, 1L), // doc 1: both blocks, separate spans
+      (2L, 0, 8, 1L), (3L, 7, 15, 1L)))
+  }
 }
