@@ -328,7 +328,23 @@ object Bench {
         def deliveryOk(w: Window): Boolean =
           w.coresDelivered < 0 || w.cores > loCores || w.coresDelivered >= 0.8 * w.cores
         def stealOk(w: Window): Boolean = w.stealCores <= 0.05 * w.cores
-        lo.bracketOk && hi.bracketOk && deliveryOk(lo) && stealOk(lo) && stealOk(hi)
+        // (e) CPU-WORK PARITY (round 5): the two windows run the IDENTICAL
+        // job on the identical input, so their consumed core-seconds
+        // (cores_delivered × wall) must be comparable — clean pairs
+        // measure ~1.1×, GC-debt worst case ~2×. A larger asymmetry means
+        // one window was crushed by co-tenant memory traffic the other
+        // didn't see (memory stalls bill as CPU time, so steal and the
+        // register-only ALU bracket both stay clean — observed: a "valid"
+        // 32-core window at 4.7× the 8-core window's core-seconds reading
+        // raw 0.196). Such a pair compares two different hosts and is not
+        // a scaling measurement in either direction.
+        def work(w: Window): Double = math.max(w.coresDelivered, 0.0) * w.secs
+        val workParityOk = {
+          val (a, b) = (work(lo), work(hi))
+          a > 0 && b > 0 && math.max(a, b) / math.min(a, b) <= 2.0
+        }
+        lo.bracketOk && hi.bracketOk && deliveryOk(lo) && stealOk(lo) &&
+          stealOk(hi) && workParityOk
       }
     }
     def median(xs: Seq[Double]): Double = {
@@ -486,6 +502,41 @@ object Bench {
       m.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }.mkString("{", ",", "}")
 
     def fmtOpt(o: Option[Double]): String = o.map("%.3f".format(_)).getOrElse("null")
+    // ---- SUPPLEMENTARY composed-clean-window stats (round 5): on loud
+    // days the steal bursts keep hitting one half of every pair (observed:
+    // 4/4 hi windows crushed while 4/4 lo windows were pristine), so no
+    // TEMPORAL pair survives even though individually-clean windows exist
+    // on both sides. Each window is independently certified (ALU bracket,
+    // steal, delivery, and work-normality: consumed core-seconds within
+    // 1.4× of the cleanest same-core window — a crushed window burns
+    // multiples of the clean CPU work); the medians of the clean sets
+    // compose a cross-pair efficiency estimate. NEVER the headline — the
+    // fields are labeled composed_* and the paired protocol above stays
+    // the gate; this is the durable record of what the clean windows say
+    // when the budget exhausts without a surviving pair. ----
+    val allWindows = builds.toSeq.flatMap(b => Seq(b._1, b._2))
+    def cleanSet(cores: Int): Seq[Window] = {
+      val same = allWindows.filter(_.cores == cores)
+      val works = same.map(w => math.max(w.coresDelivered, 0.0) * w.secs).filter(_ > 0)
+      if (works.isEmpty) Nil
+      else {
+        val minWork = works.min
+        same.filter { w =>
+          val wk = math.max(w.coresDelivered, 0.0) * w.secs
+          w.bracketOk && w.stealCores <= 0.05 * w.cores &&
+            w.coresDelivered >= 0.8 * w.cores && wk > 0 && wk <= 1.4 * minWork
+        }
+      }
+    }
+    val (cleanLo, cleanHi) = (cleanSet(loCores), cleanSet(hiCores))
+    val composed: Option[(Double, Double, Double, Double)] =
+      if (cleanLo.isEmpty || cleanHi.isEmpty) None
+      else {
+        val mLo = median(cleanLo.map(_.secs)); val mHi = median(cleanHi.map(_.secs))
+        val raw = (mLo / mHi) / ratio
+        val ceil = (median(cleanLo.map(_.alu)) / median(cleanHi.map(_.alu))) / ratio
+        Some((mLo, mHi, raw, if (ceil > 0) raw / ceil else raw))
+      }
     // the scaling block sans the windows array (the windows are the bulk
     // of the full artifact; the compact driver line drops them)
     def scalingJson(withWindows: Boolean): String =
@@ -505,7 +556,12 @@ object Bench {
         // fallback_tier: 0 = gated-valid survivors; 1 = diagnostics failed
         // everywhere but a physically-possible pair exists (labeled); 2 =
         // nothing physically possible — efficiencies are null
-        s""""fallback_tier":$fallbackTier""" +
+        s""""fallback_tier":$fallbackTier,""" +
+        s""""n_clean_lo_windows":${cleanLo.size},"n_clean_hi_windows":${cleanHi.size},""" +
+        s""""composed_clean_lo_median_secs":${fmtOpt(composed.map(_._1))},""" +
+        s""""composed_clean_hi_median_secs":${fmtOpt(composed.map(_._2))},""" +
+        s""""composed_clean_raw":${fmtOpt(composed.map(_._3))},""" +
+        s""""composed_clean_vs_ceiling":${fmtOpt(composed.map(_._4))}""" +
         (if (withWindows)
            s""","windows":[${builds.toSeq.flatMap(b => Seq(b._1, b._2)).map(_.json).mkString(",")}]}"""
          else "}")

@@ -205,6 +205,79 @@ object PipelineGate {
              |  count(*) AS n_windows
              |FROM isl GROUP BY doc_id, grp ORDER BY id, span_start""".stripMargin)),
 
+    // corpus-wide APPLY of dedup_substring: every duplicated span cut out
+    // of every document, output at token granularity (clean_text = the
+    // space-joined surviving tokens)
+    GateQuery("dedup_substring_apply",
+      (s, d) => Dedup.applySpans(docs(s, d), n = 8, minDocs = 2)
+        .orderBy("doc_id"),
+      Some("""WITH arr AS (
+             |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS w
+             |  FROM documents
+             |), wins AS (
+             |  SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+7], ' ') AS g
+             |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i
+             |        FROM arr WHERE len(w) >= 8)
+             |), dupg AS (
+             |  SELECT g FROM wins GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+             |), dwin AS (
+             |  SELECT w.doc_id, w.pos FROM wins w JOIN dupg USING (g)
+             |), toks AS (
+             |  SELECT a.doc_id, i, a.w[i] AS t
+             |  FROM arr a, unnest(generate_series(1, len(a.w))) AS u(i)
+             |), kept AS (
+             |  SELECT t.doc_id, t.i, t.t FROM toks t
+             |  WHERE NOT EXISTS (SELECT 1 FROM dwin d WHERE d.doc_id = t.doc_id
+             |                    AND t.i - 1 >= d.pos AND t.i - 1 < d.pos + 8)
+             |)
+             |SELECT a.doc_id, coalesce(k.ct, '') AS clean_text,
+             |  len(a.w) - coalesce(k.nk, 0) AS n_removed
+             |FROM arr a LEFT JOIN (
+             |  SELECT doc_id, string_agg(t, ' ' ORDER BY i) AS ct, count(*) AS nk
+             |  FROM kept GROUP BY doc_id) k USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // corpus-level top-k n-gram occurrence counts (boilerplate discovery)
+    GateQuery("ngram_topk",
+      (s, d) => TextAnalysis.topNgrams(docs(s, d), n = 3, k = 20),
+      Some("""WITH arr AS (
+             |  SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS w
+             |  FROM documents
+             |), grams AS (
+             |  SELECT array_to_string(w[i:i+2], ' ') AS ngram
+             |  FROM (SELECT w, unnest(generate_series(1, len(w) - 2)) AS i
+             |        FROM arr WHERE len(w) >= 3)
+             |)
+             |SELECT ngram, count(*) AS cnt FROM grams GROUP BY ngram
+             |ORDER BY cnt DESC, ngram ASC LIMIT 20""".stripMargin)),
+
+    // cross-source exact-Jaccard overlap report; the oracle joins on the
+    // gram STRING where the engine joins on xxhash64(gram) — equality
+    // certifies the 8-byte-key trade collision-free on this corpus
+    GateQuery("source_overlap",
+      (s, d) => Curation.sourceOverlap(docs(s, d), n = 3)
+        .orderBy("src_a", "src_b"),
+      Some("""WITH arr AS (
+             |  SELECT source, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS w
+             |  FROM documents
+             |), sh AS (
+             |  SELECT DISTINCT source, array_to_string(w[i:i+2], ' ') AS g
+             |  FROM (SELECT source, w, unnest(generate_series(1, len(w) - 2)) AS i
+             |        FROM arr WHERE len(w) >= 3)
+             |), sizes AS (
+             |  SELECT source, count(*) AS sz FROM sh GROUP BY source
+             |), ovl AS (
+             |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter
+             |  FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+             |  GROUP BY 1, 2
+             |)
+             |SELECT sa.source AS src_a, sb.source AS src_b,
+             |  coalesce(o.inter, 0) AS inter, sa.sz AS sz_a, sb.sz AS sz_b,
+             |  round(coalesce(o.inter, 0) / (sa.sz + sb.sz - coalesce(o.inter, 0)), 6) AS jaccard
+             |FROM sizes sa JOIN sizes sb ON sa.source < sb.source
+             |  LEFT JOIN ovl o ON o.src_a = sa.source AND o.src_b = sb.source
+             |ORDER BY src_a, src_b""".stripMargin)),
+
     GateQuery("neardup_jaccard",
       // cap=128 exercises the capped-exact skew-guard path (rare self-join
       // + hot-array correction); the result must still hash-match the

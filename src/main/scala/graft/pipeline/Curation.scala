@@ -343,4 +343,52 @@ object Curation {
       qualityFailed = nInput - nContam - nQPass, dupDropped = nDup,
       sampledOut = nQPass - nDup - nKept, kept = nKept))
   }
+
+  /** Cross-source overlap report: exact Jaccard similarity between the
+    * DISTINCT n-gram shingle sets of every pair of sources — the
+    * corpus-composition analytic behind "how much of source A is also
+    * in source B" (mirror detection, crawl-overlap audits, and the
+    * corpus-vs-corpus view of [[decontaminate]]).
+    * Returns (src_a, src_b, inter, sz_a, sz_b, jaccard), src_a < src_b.
+    *
+    * Plan at 100 TB: per-doc distinct shingles (narrow, array_distinct
+    * in-row) → (source, xxhash64(gram)) DISTINCT — the one big shuffle,
+    * 8-byte keys + a small source tag → self-join keyed by gram hash
+    * (rows are distinct per source, so a gram contributes at most
+    * nSources² join rows — no hot-key quadratics) → pair counts; sizes
+    * come from the same distinct frame and broadcast into the tiny
+    * pair frame. The gate oracle replays over the gram STRINGS,
+    * certifying the 8-byte-key trade collision-free. */
+  def sourceOverlap(df: DataFrame, n: Int = 3, srcCol: String = "source",
+                    textCol: String = "text"): DataFrame = {
+    require(n >= 1, s"need n >= 1; got n=$n")
+    // eager persist: ss feeds THREE legs (self-join both sides + sizes)
+    // — uncached, each leg re-runs the whole tokenize+shingle+distinct
+    // pipeline (the decontaminate recompute pitfall, advisor round 4)
+    val ss = Dedup.shingleSets(df, n, srcCol, textCol)
+      .select(col("id").as("src"), explode(col("set")).as("s"))
+      .select(col("src"), xxhash64(col("s")).as("h"))
+      .distinct()
+      .persist()
+    ss.count()
+    val sizes = ss.groupBy("src").agg(count(lit(1)).as("sz"))
+    val inter = ss.select(col("src").as("src_a"), col("h"))
+      .join(ss.select(col("src").as("src_b"), col("h")), "h")
+      .where(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("inter"))
+    // every source pair appears in the report — disjoint pairs carry
+    // inter = 0 (the self-join alone would silently drop them)
+    val out = sizes.select(col("src").as("src_a"), col("sz").as("sz_a"))
+      .crossJoin(sizes.select(col("src").as("src_b"), col("sz").as("sz_b")))
+      .where(col("src_a") < col("src_b"))
+      .join(inter, Seq("src_a", "src_b"), "left")
+      .withColumn("inter", coalesce(col("inter"), lit(0L)))
+      .withColumn("jaccard",
+        round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 6))
+      .select("src_a", "src_b", "inter", "sz_a", "sz_b", "jaccard")
+      .persist()
+    out.count() // materialize (nSources² rows — tiny) before dropping ss
+    ss.unpersist()
+    out
+  }
 }

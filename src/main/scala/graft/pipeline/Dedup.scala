@@ -91,9 +91,16 @@ object Dedup {
   def duplicateSpans(df: DataFrame, n: Int = 8, minDocs: Int = 2,
                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(n >= 2 && minDocs >= 2, s"need n >= 2 and minDocs >= 2; got n=$n minDocs=$minDocs")
+    spansFromTokens(
+      spread(df).select(col(idCol).as("id"), tokensCol(col(textCol)).as("w")), n, minDocs)
+  }
+
+  /** [[duplicateSpans]] over an already-tokenized (id, w) frame — lets
+    * [[applySpans]] (and shared-cache compositions) pay tokenization
+    * once. */
+  private[pipeline] def spansFromTokens(toks: DataFrame, n: Int, minDocs: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val wins = spread(df)
-      .select(col(idCol).as("id"), tokensCol(col(textCol)).as("w"))
+    val wins = toks
       .where(size(col("w")) >= n)
       .select(col("id"), posexplode(when(size(col("w")) >= n, // guard as in shingleSetsFromTokens
         transform(sequence(lit(1), size(col("w")) - lit(n - 1)),
@@ -113,6 +120,50 @@ object Dedup {
         (max("pos") + lit(n)).as("span_end"),
         count(lit(1)).as("n_windows"))
       .select(col("id"), col("span_start"), col("span_end"), col("n_windows"))
+  }
+
+  /** Corpus-wide APPLY of [[duplicateSpans]]: cut every duplicated span
+    * out of every document. Output is at TOKEN granularity — the span
+    * criterion is defined over the token stream, so the rewritten
+    * document is the space-joined SURVIVING tokens (a doc with no
+    * duplicated spans keeps all its tokens; a fully-duplicated doc
+    * becomes the empty string): (idCol, clean_text, n_removed).
+    *
+    * Plan: ONE tokenize pass persisted (eager, mirroring
+    * [[ngramJaccardPairs]]) feeds both the span detection and the
+    * rebuild; spans come back id-keyed and are collapsed to a per-doc
+    * span ARRAY (tiny — spans are maximal and disjoint) joined back on
+    * id, so the rebuild is a narrow per-row `filter` over token
+    * positions. Exchanges: the span pipeline's 8-byte-key shuffles plus
+    * one id-keyed join — no text bytes beyond the final projection. */
+  def applySpans(df: DataFrame, n: Int = 8, minDocs: Int = 2,
+                 idCol: String = "doc_id", textCol: String = "text",
+                 eager: Boolean = true): DataFrame = {
+    require(n >= 2 && minDocs >= 2, s"need n >= 2 and minDocs >= 2; got n=$n minDocs=$minDocs")
+    val toks0 = spread(df).select(col(idCol).as("id"), tokensCol(col(textCol)).as("w"))
+    val toks = if (eager) toks0.persist() else toks0
+    if (eager) toks.count()
+    val spans = spansFromTokens(toks, n, minDocs)
+      .groupBy("id")
+      .agg(collect_list(struct(col("span_start").as("s"), col("span_end").as("e"))).as("spans"))
+    val out = toks.join(spans, Seq("id"), "left")
+      // kept = 0-based token positions outside every [s, e) span; the
+      // when() guards sequence(0, -1) on token-less docs (see
+      // shingleSetsFromTokens for why the guard must live IN the expr)
+      .withColumn("kept", when(size(col("w")) > 0,
+        filter(sequence(lit(0), size(col("w")) - 1),
+          i => col("spans").isNull ||
+            !exists(col("spans"), sp => i >= sp("s") && i < sp("e"))))
+        .otherwise(array().cast("array<int>")))
+      .select(col("id").as(idCol),
+        concat_ws(" ", transform(col("kept"), i => element_at(col("w"), i + 1)))
+          .as("clean_text"),
+        (size(col("w")) - size(col("kept"))).cast("long").as("n_removed"))
+    if (!eager) return out
+    val res = out.persist()
+    res.count()
+    toks.unpersist()
+    res
   }
 
   /** Per-document distinct shingle sets: (id, set: array<string>, sz).

@@ -272,4 +272,30 @@ object TextAnalysis {
       .select(col("id").as(idCol), col("term"), col("tf"), col("df"),
         round(col("raw_score"), 4).as("score"), col("rank"))
   }
+
+  /** Corpus-level top-k n-gram counts (every OCCURRENCE counts — unlike
+    * the dedup family's per-doc-distinct shingles) — the standard
+    * boilerplate/template-discovery report over a crawl. Ties break on
+    * the gram string ascending, so the result is deterministic.
+    *
+    * Plan at 100 TB: per-row gram arrays (narrow) → explode → ONE
+    * count aggregation keyed by the gram string (hash partial agg —
+    * map-side combine collapses each partition's stream before the
+    * exchange, and boilerplate grams are exactly the ones that
+    * collapse hardest) → global top-k as TakeOrderedAndProject (never
+    * a full sort). */
+  def topNgrams(df: DataFrame, n: Int = 3, k: Int = 20,
+                textCol: String = "text"): DataFrame = {
+    require(n >= 1 && k >= 1, s"need n >= 1 and k >= 1; got n=$n k=$k")
+    df.select(toks(col(textCol)).as("w"))
+      .where(size(col("w")) >= n)
+      // guard repeated inside the expr, see shingleSetsFromTokens
+      .select(explode(when(size(col("w")) >= n,
+        transform(sequence(lit(0), size(col("w")) - n),
+          i => concat_ws(" ", slice(col("w"), i + lit(1), lit(n)))))
+        .otherwise(array().cast("array<string>"))).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("ngram").asc)
+      .limit(k)
+  }
 }

@@ -60,6 +60,16 @@ object VerifyDrive {
       """{"query":{"text":"+needle_3 +role:/us.r/"},"maxResults":3}""")
     run("PROBE: empty regexp // is dropped (match-all)",
       """{"query":{"text":"//"},"maxResults":1}""")
+    run("sloppy phrase \"w0000 w0002\"~2 (order-tolerant proximity)",
+      """{"query":{"text":"\"w0000 w0002\"~2"},"maxResults":3}""")
+    run("parens grouping with AND/OR: (needle_3 OR needle_4) AND role:user",
+      """{"query":{"text":"(needle_3 OR needle_4) AND role:user"},"maxResults":3}""")
+    run("NOT operator: needle_3 AND NOT ambiguous",
+      """{"query":{"text":"needle_3 AND NOT ambiguous"},"maxResults":3}""")
+    run("^boost distributes into leaf weights: needle_3^2 ambiguous",
+      """{"query":{"text":"needle_3^2 ambiguous"},"maxResults":3}""")
+    run("PROBE: boosted group (needle_3 needle_4)^0.5 keeps flat plan",
+      """{"query":{"text":"(needle_3 needle_4)^0.5"},"maxResults":3}""")
     // facet single-pass through the facade
     println("== facets (single pass) ==")
     println(engine.facetJson(graft.model.SearchRequest(text = Some("ambiguous")), Seq("role", "tool")))

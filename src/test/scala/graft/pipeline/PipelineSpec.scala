@@ -391,6 +391,56 @@ class PipelineSpec extends SparkSuite {
     assert(got === Set((1L, 2, 12, 3L), (2L, 0, 10, 3L)))
   }
 
+  test("applySpans: duplicated spans cut, untouched and token-less docs intact") {
+    import spark.implicits._
+    val shared = (1 to 10).map(k => s"dup$k").mkString(" ")
+    val corpus = Seq(
+      (1L, s"alpha beta $shared gamma delta"), // span [2,12) cut
+      (2L, s"$shared zeta"),                   // span [0,10) cut
+      (3L, "unique tokens only here nothing shared at all"), // windows, no dups
+      (4L, "short text"),                      // < n tokens: untouched
+      (5L, "...")                              // tokenizes to NOTHING
+    ).toDF("doc_id", "text")
+    val got = Dedup.applySpans(corpus, n = 8, minDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set(
+      (1L, "alpha beta gamma delta", 10L),
+      (2L, "zeta", 10L),
+      (3L, "unique tokens only here nothing shared at all", 0L),
+      (4L, "short text", 0L),
+      (5L, "", 0L)))
+  }
+
+  test("topNgrams: occurrence counts with deterministic tie-break") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a b c a b c"),  // "a b c"×2, "b c a", "c a b"
+      (2L, "a b c"),        // "a b c"
+      (3L, "z z")           // < n tokens: contributes nothing
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.topNgrams(corpus, n = 3, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    assert(got === List(("a b c", 3L), ("b c a", 1L), ("c a b", 1L)))
+  }
+
+  test("sourceOverlap: exact Jaccard between per-source distinct shingle sets") {
+    import spark.implicits._
+    // unigram shingles (n=1) make the sets easy to state:
+    // web = {a,b,c,d}, books = {c,d,e}, code = {x}
+    val corpus = Seq(
+      (1L, "a b c", "web"), (2L, "c d", "web"),
+      (3L, "c d e", "books"),
+      (4L, "x x", "code")
+    ).toDF("doc_id", "text", "source")
+    val got = Curation.sourceOverlap(corpus, n = 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+    assert(got === Set(
+      ("books", "web", 2L, 3L, 4L, 0.4),      // {c,d} / {a,b,c,d,e}
+      ("books", "code", 0L, 3L, 1L, 0.0),
+      ("code", "web", 0L, 1L, 4L, 0.0)))
+  }
+
   test("duplicateSpans: disjoint duplicated runs stay separate spans") {
     import spark.implicits._
     val b1 = (1 to 8).map(k => s"x$k").mkString(" ")
