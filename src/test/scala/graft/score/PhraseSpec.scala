@@ -86,6 +86,39 @@ class PhraseSpec extends SparkSuite {
     }
   }
 
+  test("sloppy two-pointer kernel ≡ brute-force first-minimum rescan") {
+    // the production kernel advances a per-slot cursor monotonically;
+    // this reference rescans every array per anchor with the exact old
+    // column-fold semantics (first minimum of the ascending array,
+    // strict-< improvement), including its double accumulation order
+    def brute(bases: Seq[Seq[Int]], slop: Int): Double = {
+      var tf = 0.0
+      for (anchor <- bases.head) {
+        val deltas = bases.tail.map { arr =>
+          var best = Int.MaxValue
+          for (b <- arr) if (math.abs(b - anchor) < math.abs(best)) best = b - anchor
+          best
+        }
+        val all = 0 +: deltas
+        val ml = all.max - all.min
+        if (ml <= slop) tf += 1.0 / (1.0 + ml.toDouble)
+      }
+      tf
+    }
+    val rnd = new scala.util.Random(20260818L)
+    for (trial <- 0 until 2000) {
+      val k = 1 + rnd.nextInt(4)
+      val slop = rnd.nextInt(6)
+      // sorted, possibly with duplicates (synonym stacks can repeat a
+      // rebased position), small value range to force ties and overlaps
+      val bases = Seq.fill(k)(
+        Seq.fill(1 + rnd.nextInt(8))(rnd.nextInt(20) - 3).sorted)
+      val got = QueryExec.sloppyTfKernel(bases, slop)
+      val want = brute(bases, slop)
+      assert(got === want, s"trial $trial: bases=$bases slop=$slop")
+    }
+  }
+
   test("phrases flow through the search facade and its request parse") {
     val engine = SearchEngine.build(mkTurns(Seq(
       "merge conflict resolved", "conflict merge resolved", "merge conflict")),
