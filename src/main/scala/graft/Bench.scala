@@ -346,13 +346,64 @@ object Bench {
         lo.bracketOk && hi.bracketOk && deliveryOk(lo) && stealOk(lo) &&
           stealOk(hi) && workParityOk
       }
+      // (f) ABSOLUTE WORK CALIBRATION (round 5): parity (e) is relative,
+      // so a pair whose two windows were BOTH crushed by similar factors
+      // slips through and drags the median (observed: a gate-surviving
+      // raw-0.196 pair whose lo did 2.3× and hi 3× the session's clean
+      // core-seconds, full_r5.json). The same build on the same input
+      // does a fixed amount of real work; within one session the minimum
+      // observed core-seconds per SIDE approximates it (same-side
+      // windows share core count, so the SMT/sharing cost being measured
+      // cancels). A window burning > 1.5× its side's session minimum is
+      // crush-contaminated — fresh-subprocess same-side spread on clean
+      // windows measures ≤ 1.2×. Evaluated against ALL windows run so
+      // far (burn-in included: JIT only inflates, never deflates, work),
+      // and re-evaluated as the session min drops.
+      def workCalibrationOk(minLoWork: Double, minHiWork: Double): Boolean = {
+        def w(x: Window): Double = math.max(x.coresDelivered, 0.0) * x.secs
+        w(lo) <= 1.5 * minLoWork && w(hi) <= 1.5 * minHiWork
+      }
+      /** Which gates this pair failed (empty = valid) — recorded per pair
+        * in the artifact so a reader sees WHY each discard happened
+        * without re-deriving the gates from the windows array. */
+      def failedGates(minLoWork: Double, minHiWork: Double): Seq[String] = {
+        def w(x: Window): Double = math.max(x.coresDelivered, 0.0) * x.secs
+        val workParity = {
+          val (a, b) = (w(lo), w(hi))
+          a > 0 && b > 0 && math.max(a, b) / math.min(a, b) <= 2.0
+        }
+        Seq(
+          (!lo.bracketOk) -> "alu_bracket_lo",
+          (!hi.bracketOk) -> "alu_bracket_hi",
+          !(lo.coresDelivered < 0 || lo.coresDelivered >= 0.8 * lo.cores) -> "delivery_lo",
+          (lo.stealCores > 0.05 * lo.cores) -> "steal_lo",
+          (hi.stealCores > 0.05 * hi.cores) -> "steal_hi",
+          (!workParity) -> "work_parity",
+          (w(lo) > 1.5 * minLoWork) -> "work_calibration_lo",
+          (w(hi) > 1.5 * minHiWork) -> "work_calibration_hi",
+          (raw > 1.05 || cal > 1.05) -> "physically_impossible"
+        ).collect { case (true, g) => g }
+      }
     }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
     def physOk(p: Pair): Boolean = p.raw <= 1.05 && p.cal <= 1.05
-    def validOf(ps: Seq[Pair]): Seq[Pair] = ps.filter(p => p.diagnosticsOk && physOk(p))
+    // session-min core-seconds per side, over every window run so far
+    // (gate (f) — recomputed each call so later, cleaner windows tighten
+    // the calibration retroactively)
+    def minWorks(ps: Seq[Pair]): (Double, Double) = {
+      def w(x: Window): Double = math.max(x.coresDelivered, 0.0) * x.secs
+      val los = ps.map(p => w(p.lo)).filter(_ > 0)
+      val his = ps.map(p => w(p.hi)).filter(_ > 0)
+      (if (los.isEmpty) Double.MaxValue else los.min,
+       if (his.isEmpty) Double.MaxValue else his.min)
+    }
+    def validOf(ps: Seq[Pair], allForCal: Seq[Pair]): Seq[Pair] = {
+      val (ml, mh) = minWorks(allForCal)
+      ps.filter(p => p.diagnosticsOk && physOk(p) && p.workCalibrationOk(ml, mh))
+    }
     // target from BASELINE.json's north rule: raw ≥ 0.8 (or ≥ 0.9 of the
     // measured hardware ceiling — raw 1.0 is unreachable across this
     // host's 8→32 SMT boundary, see BASELINE.md)
@@ -367,7 +418,8 @@ object Bench {
       turnsLo = n
       builds += ((wLo, wHi))
       pairsRun += 1
-      val soFar = validOf(builds.toSeq.drop(1).map { case (l, h) => Pair(l, h) })
+      val ps = builds.toSeq.map { case (l, h) => Pair(l, h) }
+      val soFar = validOf(ps.drop(1), ps)
       if (pairsRun >= 2 && targetMet(soFar)) done = true
       System.err.println(s"[bench] pair $pairsRun/$pairBudget: " +
         s"${soFar.size} valid so far" +
@@ -375,7 +427,7 @@ object Bench {
     }
     val allPairs = builds.toSeq.map { case (l, h) => Pair(l, h) }
     val candidates = allPairs.drop(1) // pair 1 = burn-in
-    val valid = validOf(candidates)
+    val valid = validOf(candidates, allPairs)
     // Fallback when every candidate was disturbed: the ≤1.05
     // physical-possibility cap applies in EVERY tier (round-3's tier-1
     // fallback skipped it and headlined an impossible 1.699 — judge
@@ -557,6 +609,14 @@ object Bench {
         // everywhere but a physically-possible pair exists (labeled); 2 =
         // nothing physically possible — efficiencies are null
         s""""fallback_tier":$fallbackTier,""" +
+        s""""pair_verdicts":[${
+          val (ml, mh) = minWorks(allPairs)
+          candidates.map { p =>
+            val failed = p.failedGates(ml, mh)
+            s"""{"raw":${"%.3f".format(p.raw)},"vs_ceiling":${"%.3f".format(p.cal)},""" +
+              s""""valid":${failed.isEmpty},"failed":[${failed.map("\"" + _ + "\"").mkString(",")}]}"""
+          }.mkString(",")
+        }],""" +
         s""""n_clean_lo_windows":${cleanLo.size},"n_clean_hi_windows":${cleanHi.size},""" +
         s""""composed_clean_lo_median_secs":${fmtOpt(composed.map(_._1))},""" +
         s""""composed_clean_hi_median_secs":${fmtOpt(composed.map(_._2))},""" +

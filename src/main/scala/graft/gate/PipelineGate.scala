@@ -461,6 +461,30 @@ object PipelineGate {
              |  CAST(len(list_slice(w, start + 1, start + 64)) AS BIGINT) AS chunk_tokens
              |FROM starts ORDER BY doc_id, chunk_idx""".stripMargin)),
 
+    // Training-sequence packing (concat in id order, cut every 128
+    // whitespace tokens): the engine computes document offsets with a
+    // distributed prefix sum; the oracle is the plain global-window
+    // cumsum that prefix sum must equal. All-integer arithmetic.
+    GateQuery("seq_pack",
+      (s, d) => TextAnalysis.packSequences(docs(s, d), 128)
+        .orderBy("seq_id", "doc_id"),
+      Some("""WITH t AS (SELECT doc_id,
+             |    len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n
+             |  FROM documents),
+             |nz AS (SELECT doc_id, CAST(n AS BIGINT) AS n FROM t WHERE n > 0),
+             |off AS (SELECT doc_id, n,
+             |    CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS o
+             |  FROM nz),
+             |frag AS (SELECT doc_id, n, o,
+             |    unnest(range(o // 128, (o + n - 1) // 128 + 1)) AS seq_id
+             |  FROM off)
+             |SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+             |  CAST(greatest(seq_id * 128 - o, 0) AS BIGINT) AS doc_offset,
+             |  CAST(least((seq_id + 1) * 128, o + n) - greatest(seq_id * 128, o) AS BIGINT)
+             |    AS frag_tokens
+             |FROM frag ORDER BY seq_id, doc_id""".stripMargin)),
+
     // TF-IDF keyword extraction (round 4): top-5 characteristic terms
     // per doc; rarity ratio N/df instead of log(N/df) keeps the score one
     // exact integer product + one division, so the oracle's doubles match

@@ -404,6 +404,22 @@ object Dedup {
       (a, b)
     }
 
+  /** LSH band keys from an (id, sig: array<long>) signature frame:
+    * (id, band, bh) with one row per band. The band key is FNV-1a of the
+    * band's signature values joined as decimal strings — an 8-byte
+    * shuffle/bucket key (not the rows-long slice), deterministic across
+    * runs, and — unlike Spark's Murmur3 `hash()` — replayable in the
+    * DuckDB oracle. Shared by the batch [[minhashLshPairs]] and the
+    * streaming ingest's near-dup band sidecar, so a key written by
+    * either is directly joinable against the other. */
+  private[graft] def bandKeys(sig: DataFrame, bands: Int, rows: Int): DataFrame = {
+    val bandStrs = transform(sequence(lit(0), lit(bands - 1)),
+      b => concat_ws(",",
+        transform(slice(col("sig"), b * lit(rows) + lit(1), lit(rows)), _.cast("string"))))
+    sig.select(col("id"), posexplode(bandStrs).as(Seq("band", "bstr")))
+      .select(col("id"), col("band"), fnv1a64Udf(col("bstr")).as("bh"))
+  }
+
   /** MinHash signatures: (id, sig: array<long>) — a narrow per-doc map
     * over the in-row distinct shingle set (no shuffle at any scale). */
   def minhashSignatures(df: DataFrame, numHashes: Int = 64, seed: Long = 42L,
@@ -435,15 +451,7 @@ object Dedup {
     val shStr = sets.select(col("id"), explode(col("set")).as("shingle"))
     val sig = sets.select(col("id"),
       minhashSigUdf(numHashes, seed)(col("set")).as("sig"))
-    // band key = FNV-1a of the band's signature values joined as decimal
-    // strings: an 8-byte shuffle key (not the 4-long slice), deterministic
-    // across runs, and — unlike Spark's Murmur3 `hash()` — replayable in
-    // the DuckDB oracle
-    val bandStrs = transform(sequence(lit(0), lit(bands - 1)),
-      b => concat_ws(",",
-        transform(slice(col("sig"), b * lit(rows) + lit(1), lit(rows)), _.cast("string"))))
-    val banded = sig.select(col("id"), posexplode(bandStrs).as(Seq("band", "bstr")))
-      .select(col("id"), col("band"), fnv1a64Udf(col("bstr")).as("bh"))
+    val banded = bandKeys(sig, bands, rows)
     val l = banded.toDF("ida", "band", "bh")
     val r = banded.toDF("idb", "band", "bh")
     val candidates = l.join(r, Seq("band", "bh"))

@@ -298,4 +298,74 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("ngram").asc)
       .limit(k)
   }
+
+  /** Pack the corpus into fixed-budget training sequences: concatenate
+    * all documents in ascending-id order and cut every `budgetTokens`
+    * whitespace tokens (the GPT-style pack-then-split loader). Returns
+    * the packing MANIFEST — one row per (sequence, document fragment):
+    * `(seq_id, id, doc_offset, frag_tokens)` where the fragment covers
+    * tokens [doc_offset, doc_offset + frag_tokens) of its document and
+    * sequence `s` covers corpus tokens [s·B, (s+1)·B). Fragments tile
+    * every document exactly and every sequence except the last holds
+    * exactly `budgetTokens` tokens; a loader joins the manifest back to
+    * text by id. Empty documents are dropped (as in [[chunkDocuments]]).
+    *
+    * The global token offset of each document is a DISTRIBUTED PREFIX
+    * SUM — the full corpus is never ordered on one node: the (id,
+    * n_tokens) projection (~16 B/row; the text itself never shuffles)
+    * is range-partitioned by id, each partition computes a local cumsum
+    * (one window per range partition), and the per-partition subtotals
+    * — bounded by the partition count, not the row count — are
+    * collected once and broadcast back as partition base offsets. The
+    * projection is persisted before the subtotal collect: range
+    * boundaries are sampled, so an unpersisted recompute could assign
+    * different partition ids than the bases were collected under. */
+  def packSequences(df: DataFrame, budgetTokens: Int,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(budgetTokens > 0, s"need budgetTokens > 0, got $budgetTokens")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val counts = df
+      .select(col(idCol),
+        size(filter(split(col(textCol), "\\s+"), t => t =!= "")).cast("long").as("n"))
+      .where(col("n") > 0)
+      .repartitionByRange(col(idCol))
+      .withColumn("pid", spark_partition_id())
+      // local cumsum: the window repartitions by pid (each range
+      // partition's rows stay together), so this is one exchange of the
+      // tiny projection, never of the text
+      .withColumn("prev", coalesce(
+        sum("n").over(Window.partitionBy("pid").orderBy(idCol)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .persist()
+    counts.count()
+    // per-partition subtotals → cumulative base offsets (driver-side,
+    // |partitions| rows)
+    val subtotals = counts.groupBy("pid").agg(sum("n").as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val bases = subtotals.scanLeft(0L)(_ + _._2).init
+    val basesDf = spark.createDataFrame(
+      subtotals.map(_._1).zip(bases).toSeq).toDF("pid", "base")
+    val b = budgetTokens.toLong
+    val out = counts
+      .join(broadcast(basesDf), "pid")
+      .withColumn("o", col("base") + col("prev"))
+      .select(col(idCol), col("n"), col("o"),
+        explode(sequence(expr(s"o div $b"), expr(s"(o + n - 1) div $b"))).as("seq_id"))
+      .select(
+        col("seq_id"),
+        col(idCol),
+        greatest(col("seq_id") * b - col("o"), lit(0L)).as("doc_offset"),
+        (least((col("seq_id") + 1) * b, col("o") + col("n"))
+          - greatest(col("seq_id") * b, col("o"))).as("frag_tokens"))
+    // eager ownership (mirroring applySpans): the manifest must not be
+    // recomputed off the unpersisted projection — a re-sampled range
+    // partitioning could assign ids to different pids than the bases
+    // were collected under. Manifest rows are 4 longs; at corpus scale a
+    // caller writes them out anyway.
+    val res = out.persist()
+    res.count()
+    counts.unpersist()
+    res
+  }
 }

@@ -218,4 +218,151 @@ object StreamingIndex {
       .trigger(Trigger.ProcessingTime(s"$triggerSecs seconds"))
       .start()
   }
+
+  /** Streaming append with ONLINE NEAR-DUPLICATE SUPPRESSION — the
+    * ingest-time MinHash-LSH dedup a training-data pipeline wants so a
+    * re-crawled or re-posted document never enters the index at all
+    * (batch [[graft.pipeline.Dedup.minhashLshPairs]] finds the pair
+    * after the fact; this drops the later copy before its postings are
+    * appended).
+    *
+    * Per micro-batch:
+    *   (1) WITHIN-BATCH: per-doc MinHash signatures (narrow, no
+    *       shuffle) → LSH band keys → band self-join on the batch →
+    *       signature-agreement estimate ≥ `estThreshold` → connected
+    *       components; each component keeps its minimum docId.
+    *   (2) CROSS-BATCH: the batch's band keys probe a bands sidecar
+    *       accumulated from every prior batch, partitioned by
+    *       `pmod(bh, buckets)` so the probe join on (bucket, band, bh)
+    *       prunes to the batch's buckets instead of scanning the whole
+    *       sidecar; estimate against the candidates' stored signatures
+    *       (the prior TEXT is gone — postings are a bag of terms — so
+    *       the cross-batch check is the standard signature-agreement
+    *       estimate, not an exact-Jaccard rerank; at 64 hashes its
+    *       std-error on j≈0.8 is ~0.05). The prior copy always wins.
+    *   (3) Appends, all inside the same foreachBatch: postings of the
+    *       kept turns, band + signature sidecar rows of the kept docs,
+    *       and a dups sidecar row (docId, natural key, dup_of, est,
+    *       scope ∈ batch|corpus) for every suppressed turn — the audit
+    *       trail a curation pipeline reports from.
+    *
+    * Docs too short to shingle (< `shingleN` tokens) never match and
+    * are always kept. Sidecar growth is ~`bands`+1 rows per KEPT doc;
+    * per-batch probe cost is bounded by the batch's bucket set, not the
+    * corpus (a key-value store would make it O(batch) — out of scope
+    * for a parquet-native engine, and the bucketed layout is the same
+    * directory-pruned probe shape the materialized ANN index uses). */
+  def startDeduped(spark: SparkSession, inDir: String, outDir: String,
+                   dedupDir: String, checkpointDir: String,
+                   estThreshold: Double = 0.8, numHashes: Int = 64,
+                   bands: Int = 16, shingleN: Int = 5, seed: Long = 42L,
+                   buckets: Int = 256, triggerSecs: Int = 5,
+                   analyzer: TextAnalyzer = Analyzers.Icat,
+                   withPositions: Boolean = false): StreamingQuery = {
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
+    require(buckets > 0, s"need buckets > 0, got $buckets")
+    val rowsPerBand = numHashes / bands
+    val bandsDir = s"$dedupDir/bands"
+    val sigsDir = s"$dedupDir/sigs"
+    val dupsDir = s"$dedupDir/dups"
+    import graft.pipeline.Dedup
+    import org.apache.spark.storage.StorageLevel
+    def agree(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      size(filter(zip_with(a, b, (x, y) => x === y), v => v)) * lit(1.0) / numHashes
+    val stream = spark.readStream.schema(turnSchema).parquet(inDir)
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val turns = batch.withColumn("docId", defaultSurrogate)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val pinned = scala.collection.mutable.ArrayBuffer[DataFrame](turns)
+        def pin(df: DataFrame): DataFrame = {
+          val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+          p.count(); pinned += p; p
+        }
+        try {
+          val sigs = pin(Dedup.minhashSignatures(
+            turns.select(col("docId"), col("text")), numHashes, seed,
+            shingleN, "docId", "text"))
+          val banded = pin(Dedup.bandKeys(sigs, bands, rowsPerBand))
+          // (1) within-batch
+          val cand = banded.select(col("id").as("ida"), col("band"), col("bh"))
+            .join(banded.select(col("id").as("idb"), col("band"), col("bh")),
+              Seq("band", "bh"))
+            .where(col("ida") < col("idb"))
+            .select("ida", "idb").distinct()
+          val inPairs = pin(cand
+            .join(sigs.toDF("ida", "siga"), "ida")
+            .join(sigs.toDF("idb", "sigb"), "idb")
+            .withColumn("est", agree(col("siga"), col("sigb")))
+            .where(col("est") >= estThreshold)
+            .select("ida", "idb", "est"))
+          // strongest direct evidence per doc (a transitive component
+          // member may have no pair with its keeper)
+          val evid = inPairs.select(col("ida").as("docId"), col("est"))
+            .union(inPairs.select(col("idb").as("docId"), col("est")))
+            .groupBy("docId").agg(max("est").as("est"))
+          val batchDrops = pin(
+            Dedup.connectedComponents(inPairs)
+              .where(col("v") =!= col("comp"))
+              .select(col("v").as("docId"), col("comp").as("dup_of"))
+              .join(evid, Seq("docId"), "left")
+              .select(col("docId"), col("dup_of"), col("est"),
+                lit("batch").as("scope")))
+          val keepSigs = pin(sigs.join(
+            batchDrops.select(col("docId").as("id")), Seq("id"), "left_anti"))
+          // (2) cross-batch probe of the bucketed sidecars
+          val corpusDrops = pin(
+            if (java.nio.file.Files.exists(java.nio.file.Paths.get(bandsDir))) {
+              val keepBands = banded
+                .join(keepSigs.select("id"), Seq("id"), "left_semi")
+                .withColumn("bucket", pmod(col("bh"), lit(buckets)).cast("int"))
+              val clash = spark.read.parquet(bandsDir)
+                .withColumnRenamed("id", "old_id")
+                .join(broadcast(keepBands.select("bucket", "band", "bh", "id")),
+                  Seq("bucket", "band", "bh"))
+                // a re-ingest of the SAME natural key maps to the same
+                // surrogate — that is an update/replay (resolved at
+                // compaction, like startChecked), not a near-dup of itself
+                .where(col("old_id") =!= col("id"))
+                .select("old_id", "id").distinct()
+                .withColumn("bucket", pmod(col("old_id"), lit(buckets)).cast("int"))
+              clash
+                .join(spark.read.parquet(sigsDir)
+                  .withColumnRenamed("id", "old_id")
+                  .withColumnRenamed("sig", "old_sig"), Seq("bucket", "old_id"))
+                .join(keepSigs, "id")
+                .withColumn("est", agree(col("old_sig"), col("sig")))
+                .where(col("est") >= estThreshold)
+                .groupBy("id")
+                .agg(max(struct(col("est"), col("old_id"))).as("m"))
+                .select(col("id").as("docId"), col("m.old_id").as("dup_of"),
+                  col("m.est").as("est"), lit("corpus").as("scope"))
+            } else spark.range(0).select(col("id").as("docId"),
+              col("id").as("dup_of"), col("id").cast("double").as("est"),
+              lit("corpus").as("scope")))
+          val allDrops = pin(batchDrops.unionByName(corpusDrops))
+          // (3) transactional appends: postings of kept turns, sidecars
+          // of kept docs, audit rows of dropped turns
+          val keptTurns = turns.join(allDrops.select("docId"), Seq("docId"), "left_anti")
+          postingsFor(keptTurns.drop("docId"), analyzer, withPositions)
+            .write.mode("append").parquet(outDir)
+          if (allDrops.count() > 0)
+            allDrops.join(turns.select("docId", "conv_id", "turn_idx"), "docId")
+              .write.mode("append").parquet(dupsDir)
+          val keptSigs = pin(keepSigs.join(
+            corpusDrops.select(col("docId").as("id")), Seq("id"), "left_anti"))
+          banded.join(keptSigs.select("id"), Seq("id"), "left_semi")
+            .withColumn("bucket", pmod(col("bh"), lit(buckets)).cast("int"))
+            .write.partitionBy("bucket").mode("append").parquet(bandsDir)
+          keptSigs
+            .withColumn("bucket", pmod(col("id"), lit(buckets)).cast("int"))
+            .write.partitionBy("bucket").mode("append").parquet(sigsDir)
+          ()
+        } finally { pinned.foreach(_.unpersist()); () }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(s"$triggerSecs seconds"))
+      .start()
+  }
 }

@@ -53,7 +53,9 @@ class GateSpec extends SparkSuite {
           "starts", "bg", "bc", "pairs", "edges", "reach", "tf", "dfq", "nd", "b",
           "qpass", "drops", "kept",
           // curation oracle CTEs (decontam / quality_filter / pii_mask)
-          "bsh", "hits", "base", "tok", "wc", "topw", "r", "aug") --
+          "bsh", "hits", "base", "tok", "wc", "topw", "r", "aug",
+          // ngram_topk / seq_pack / dedup_substring span oracle CTEs
+          "grams", "nz", "off", "frag", "isl", "dwin", "wins", "brks") --
         // iteration CTEs: a<j>, c<j>, pii chain s<j>
         froms.filter(f => "^[acs]\\d*$".r.matches(f))
       assert(unknown.isEmpty, s"oracle references unknown tables: $unknown")

@@ -320,6 +320,35 @@ class PipelineSpec extends SparkSuite {
     assert(covered === (1 to 10).map(i => s"t$i").toSet)
   }
 
+  test("packSequences: distributed prefix sum ≡ serial packing; tiling invariants") {
+    val budget = 37
+    val got = TextAnalysis.packSequences(docs, budget)
+      .orderBy("seq_id", "doc_id", "doc_offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // serial reference: collect (id, n) and pack on the driver
+    val ns = docs.select(col("doc_id"),
+        size(filter(split(col("text"), "\\s+"), t => t =!= "")).cast("long").as("n"))
+      .where(col("n") > 0).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    var o = 0L
+    val want = ns.flatMap { case (id, n) =>
+      val frags = ((o / budget) to ((o + n - 1) / budget)).map { s =>
+        (s, id, math.max(s * budget - o, 0L),
+          math.min((s + 1) * budget, o + n) - math.max(s * budget, o))
+      }
+      o += n
+      frags
+    }.sortBy(t => (t._1, t._2, t._3))
+    assert(got.toSeq === want.toSeq)
+    // tiling: fragments sum to the doc's tokens; all sequences but the
+    // last are exactly full
+    val perDoc = got.groupBy(_._2).view.mapValues(_.map(_._4).sum).toMap
+    assert(perDoc === ns.toMap)
+    val perSeq = got.groupBy(_._1).view.mapValues(_.map(_._4).sum)
+    val lastSeq = got.map(_._1).max
+    assert(perSeq.forall { case (s, t) => t == budget || s == lastSeq })
+  }
+
   test("connectedComponents: chains, cliques, singleton pairs, empty input") {
     import spark.implicits._
     // chain 1-2-3-4-5 (diameter 4 — exercises pointer jumping), clique

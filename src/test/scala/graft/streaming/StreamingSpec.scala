@@ -139,6 +139,65 @@ class StreamingSpec extends SparkSuite {
     assert(messages(e3).exists(_.contains("WITHIN micro-batch")), messages(e3).mkString(" | "))
   }
 
+  test("deduped ingest suppresses near-dups within and across batches") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-streamdd").toString
+    val inDir = s"$base/in"
+    new java.io.File(inDir).mkdirs()
+    def turn(conv: String, idx: Int, text: String) =
+      graft.model.Turn(conv, idx, "user", text, None, new java.sql.Timestamp(0L))
+    def drive(): Unit = {
+      val q = StreamingIndex.startDeduped(spark, inDir, s"$base/out", s"$base/dd",
+        s"$base/ck", estThreshold = 0.8, shingleN = 3, buckets = 8, triggerSecs = 1)
+      try q.processAllAvailable() finally q.stop()
+    }
+    val longA = (1 to 30).map(i => s"alpha$i").mkString(" ")
+    val longB = (1 to 30).map(i => s"beta$i").mkString(" ")
+    // batch 1: A, a near-copy of A (one token appended → n-gram Jaccard
+    // 28/30 ≈ 0.93, comfortably above the 0.8 estimate threshold), and
+    // distinct B
+    Seq(turn("conv-a", 0, longA),
+        turn("conv-a", 1, longA + " extra"),
+        turn("conv-b", 0, longB))
+      .toDS().toDF().coalesce(1).write.mode("overwrite").parquet(inDir)
+    drive()
+    val kept1 = spark.read.parquet(s"$base/out").select("conv_id", "turn_idx")
+      .distinct().collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    // exactly one of the A-pair survives, B survives
+    assert(kept1.size === 2, kept1)
+    assert(kept1.contains(("conv-b", 0)))
+    assert(kept1.count(k => k._1 == "conv-a") === 1)
+    val dups1 = spark.read.parquet(s"$base/dd/dups").collect()
+    assert(dups1.length === 1)
+    assert(dups1(0).getAs[String]("scope") === "batch")
+    assert(dups1(0).getAs[Double]("est") >= 0.8)
+
+    // batch 2: a fresh conversation re-posts A (→ corpus dup of the
+    // batch-1 keeper), plus a genuinely new doc and a too-short doc
+    Seq(turn("conv-c", 0, longA),
+        turn("conv-d", 0, (1 to 30).map(i => s"delta$i").mkString(" ")),
+        turn("conv-e", 0, "tiny"))
+      .toDS().toDF().coalesce(1).write.mode("append").parquet(inDir)
+    drive()
+    val kept2 = spark.read.parquet(s"$base/out").select("conv_id", "turn_idx")
+      .distinct().collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(!kept2.contains(("conv-c", 0)), kept2) // suppressed at ingest
+    assert(kept2.contains(("conv-d", 0)))
+    assert(kept2.contains(("conv-e", 0))) // too short to shingle → kept
+    val dups2 = spark.read.parquet(s"$base/dd/dups")
+      .where(col("scope") === "corpus").collect()
+    assert(dups2.length === 1)
+    assert(dups2(0).getAs[String]("conv_id") === "conv-c")
+    // the recorded keeper is a doc that is actually in the index
+    val keptIds = spark.read.parquet(s"$base/out")
+      .select("docId").distinct().collect().map(_.getLong(0)).toSet
+    assert(keptIds.contains(dups2(0).getAs[Long]("dup_of")))
+    // sidecars accumulate one signature row per kept shingleable doc
+    // (batch 1 kept two long docs, batch 2 kept conv-d; conv-e is too
+    // short to carry a signature)
+    assert(spark.read.parquet(s"$base/dd/sigs").count() === 3)
+  }
+
   test("checked ingest with the real surrogate equals the unchecked stream") {
     val base = java.nio.file.Files.createTempDirectory("graft-streamok").toString
     val inDir = s"$base/in"
