@@ -56,6 +56,23 @@ final case class Index(
 
 object IndexBuilder {
 
+  /** Read one long metric off a completed Observation, defaulting when
+    * the metric is absent or null. Absence is REAL: when an observed
+    * subtree is provably empty at plan time (e.g. a sample filter over a
+    * tiny corpus), PropagateEmptyRelation folds the CollectMetrics node
+    * away and the observation completes with a ZERO-FIELD row — so the
+    * empty case must read as its aggregate's identity, not a crash. */
+  private def obsLong(obs: org.apache.spark.sql.Observation,
+                      key: String, default: Long): Long = {
+    // `future` completes when the observed action finishes (the public
+    // blocking `get` throws on the zero-field row instead of defaulting)
+    val row = scala.concurrent.Await.result(
+      obs.future, scala.concurrent.duration.Duration.Inf)
+    // the zero-field row carries no schema at all
+    val i = Option(row.schema).map(_.fieldNames.indexOf(key)).getOrElse(-1)
+    if (i < 0 || row.isNullAt(i)) default else row.getLong(i)
+  }
+
   /** Target posting rows per shuffle partition for the salted postings
     * write — sized so a partition's sortWithinPartitions run (~80 B/row
     * unsafe row + sorter pointers ≈ 320 MB) stays inside one task's
@@ -196,18 +213,19 @@ object IndexBuilder {
                    sampleRate: Int = 100, withPositions: Boolean = false): Index = {
     val spark = corpusWithIds.sparkSession
 
-    // heavy-hitter + volume estimate from one deterministic doc sample
+    // heavy-hitter + volume estimate from one deterministic doc sample —
+    // ONE job: the posting-row count (volume estimate) rides the same
+    // action as the hot-term collect via an Observation on the pre-agg
+    // frame, instead of a persist + second aggregate job (each small
+    // serial job in this path idles every core at high parallelism)
     val sampled = corpusWithIds.filter(pmod(xxhash64(col("docId")), lit(sampleRate)) === 0)
-    val sampleTermCounts = analyzedPostings(sampled, analyzer)
+    val sampleObs = org.apache.spark.sql.Observation()
+    val hotTerms = analyzedPostings(sampled, analyzer)
+      .observe(sampleObs, count(lit(1)).as("rows"))
       .groupBy("term").agg(count(lit(1)).as("sdf"))
-      .persist()
-    val hotTerms = sampleTermCounts
       .filter(col("sdf") * sampleRate >= hotDfThreshold)
       .select("term").collect().map(_.getString(0)).toSet
-    val sampledRows = sampleTermCounts.agg(sum(col("sdf"))).collect()(0)
-    val estPostings =
-      (if (sampledRows.isNullAt(0)) 0L else sampledRows.getLong(0)) * sampleRate
-    sampleTermCounts.unpersist()
+    val estPostings = obsLong(sampleObs, "rows", 0L) * sampleRate
     val bHot = spark.sparkContext.broadcast(hotTerms)
     val isHot = udf((t: String) => bHot.value.contains(t))
 
@@ -231,37 +249,38 @@ object IndexBuilder {
     // term-partitioned partition sees most docIds, so the "distinct"
     // shuffles nearly the whole docId column and scales with I/O, not
     // cores)
+    // GLOBAL stats ride the write action itself (map-side Observation on
+    // the analyzed rows, before the shuffle): sumTotalTermFreq = sum(tf)
+    // (sentinel rows carry tf null, which sum skips), empty-doc count =
+    // the sentinel rows. The previous shape re-derived both from a
+    // persisted post-write aggregate with two collect jobs — serial
+    // floor on every build.
+    val buildObs = org.apache.spark.sql.Observation()
     analyzedPostings(corpusWithIds, analyzer, keepEmptyDocs = true,
         withPositions = withPositions)
+      .observe(buildObs,
+        sum(col("tf").cast("long")).as("sttf"),
+        count(when(col("term").isNull, lit(1))).as("emptyDocs"))
       .withColumn("_salt",
         when(isHot(col("term")), pmod(hash(col("docId")), lit(saltBuckets))).otherwise(lit(0)))
       .repartition(n, col("term"), col("_salt"))
       .drop("_salt")
       .sortWithinPartitions("term", "docId")
       .write.mode("overwrite").parquet(s"$dir/postings")
+    val sttf = obsLong(buildObs, "sttf", 0L)
+    val emptyDocs = obsLong(buildObs, "emptyDocs", 0L)
 
-    // ONE post-write scan serves sentinels + termStats + sttf: the
-    // null-term group's df IS the empty-doc count, and sumTotalTermFreq
-    // folds over the tiny aggregated frame — the previous shape re-read
-    // the written postings once per statistic, adding two serial jobs to
-    // every build's floor
+    // ONE post-write job: the per-term stats table, aggregated from the
+    // written columnar postings (reads only term + tf)
     val written = spark.read.parquet(s"$dir/postings")
     val postings = written.filter(col("term").isNotNull)
-    val termStatsAll = written.groupBy(col("term"))
+    postings.groupBy(col("term"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
-      .persist()
-    termStatsAll.filter(col("term").isNotNull)
       .write.mode("overwrite").parquet(s"$dir/termstats")
-    val emptyDocs = termStatsAll.filter(col("term").isNull)
-      .select("df").collect().headOption.map(_.getLong(0)).getOrElse(0L)
-    val sttfRow = termStatsAll.filter(col("term").isNotNull)
-      .agg(sum(col("cf"))).collect()(0)
-    termStatsAll.unpersist()
     // docCount needs only the corpus row count (cached by DocIds.assign)
     val docCount = corpusWithIds.count() - emptyDocs
     val stats =
-      if (sttfRow.isNullAt(0) || docCount == 0L) CorpusStats(0L, 0L)
-      else CorpusStats(docCount, sttfRow.getLong(0))
+      if (docCount == 0L) CorpusStats(0L, 0L) else CorpusStats(docCount, sttf)
     if (writeCorpus) corpusWithIds.write.mode("overwrite").parquet(s"$dir/corpus")
 
     val meta =

@@ -29,11 +29,166 @@ import org.apache.spark.sql.functions._
   */
 object DocIds {
 
+  /** Key types the presorted fast path can verify. Strings compare as
+    * unsigned bytes (UTF8String semantics — what repartitionByRange
+    * orders by); floating point is excluded (NaN ordering pitfalls). */
+  private val FastPathTypes: Set[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    Set(StringType, IntegerType, LongType, ShortType, ByteType,
+        TimestampType, DateType, BooleanType)
+  }
+
+  /** Per-partition ordering evidence from one narrow scan: row count,
+    * whether the partition is internally sorted on the keys, and the
+    * first/last key tuples (driver-comparable encodings). */
+  private final case class PartOrder(pid: Int, count: Long, sorted: Boolean,
+                                     first: Array[Any], last: Array[Any])
+
+  /** Compare two key tuples in range-partition order: null first, then
+    * natural order per type; strings as unsigned byte sequences. */
+  private def cmpKeys(a: Array[Any], b: Array[Any]): Int = {
+    var i = 0
+    while (i < a.length) {
+      val (x, y) = (a(i), b(i))
+      val c =
+        if (x == null && y == null) 0
+        else if (x == null) -1
+        else if (y == null) 1
+        else (x, y) match {
+          case (xb: Array[Byte], yb: Array[Byte]) =>
+            // unsigned lexicographic — UTF8String.compareTo semantics
+            var j = 0; var r = 0
+            while (r == 0 && j < xb.length && j < yb.length) {
+              r = (xb(j) & 0xff) - (yb(j) & 0xff); j += 1
+            }
+            if (r != 0) r else xb.length - yb.length
+          case (xc: Comparable[_], yc) =>
+            xc.asInstanceOf[Comparable[Any]].compareTo(yc)
+          case _ => throw new IllegalStateException(s"uncomparable key $x")
+        }
+      if (c != 0) return c
+      i += 1
+    }
+    0
+  }
+
+  /** One pass over a FIXED layout: per-partition counts plus sortedness
+    * evidence. Keys are extracted to driver-safe values (UTF8String →
+    * byte arrays) and rows are compared in range-partition order. */
+  private def scanOrder(df: DataFrame, orderCols: Seq[String]): Array[PartOrder] = {
+    val schema = df.schema
+    val keyIdx = orderCols.map(schema.fieldIndex).toArray
+    val keyTypes = keyIdx.map(schema(_).dataType)
+    df.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
+      // extract a driver-safe copy of the key tuple from a (reused)
+      // InternalRow
+      def keyOf(r: org.apache.spark.sql.catalyst.InternalRow): Array[Any] = {
+        val out = new Array[Any](keyIdx.length)
+        var i = 0
+        while (i < keyIdx.length) {
+          out(i) =
+            if (r.isNullAt(keyIdx(i))) null
+            else keyTypes(i) match {
+              case org.apache.spark.sql.types.StringType =>
+                r.getUTF8String(keyIdx(i)).getBytes.clone()
+              case org.apache.spark.sql.types.IntegerType |
+                   org.apache.spark.sql.types.DateType => Int.box(r.getInt(keyIdx(i)))
+              case org.apache.spark.sql.types.LongType |
+                   org.apache.spark.sql.types.TimestampType => Long.box(r.getLong(keyIdx(i)))
+              case org.apache.spark.sql.types.ShortType => Short.box(r.getShort(keyIdx(i)))
+              case org.apache.spark.sql.types.ByteType => Byte.box(r.getByte(keyIdx(i)))
+              case org.apache.spark.sql.types.BooleanType => Boolean.box(r.getBoolean(keyIdx(i)))
+              case t => throw new IllegalStateException(s"fast path on $t")
+            }
+          i += 1
+        }
+        out
+      }
+      var c = 0L
+      var sorted = true
+      var first: Array[Any] = null
+      var prev: Array[Any] = null
+      while (it.hasNext) {
+        val k = keyOf(it.next())
+        if (first == null) first = k
+        if (prev != null && cmpKeys(prev, k) > 0) sorted = false
+        prev = k
+        c += 1
+      }
+      Iterator.single(PartOrder(pid, c, sorted, first, prev))
+    }.collect()
+  }
+
   def assign(df: DataFrame, orderCols: Seq[String], numPartitions: Int = 0): DataFrame = {
     val spark = df.sparkSession
     val n = if (numPartitions > 0) numPartitions
             else spark.sessionState.conf.numShufflePartitions
     val cols = orderCols.map(col)
+
+    // PRESORTED FAST PATH: when the input already arrives globally sorted
+    // on the ordering key (generated corpora, time-ordered ingest, a
+    // previously sorted table), the range shuffle below only re-creates
+    // the layout the data already has — and a full-corpus shuffle + sort
+    // is the worst-scaling step of the build (memory-bandwidth-bound; at
+    // 32 threads it runs far below the ALU ceiling). So: fix the input
+    // layout with a cache, take ONE narrow verification scan (count +
+    // per-partition sortedness + boundary keys — the same scan the slow
+    // path needs anyway for its prefix sums), and mint ids directly if
+    // every partition is sorted and partition boundaries are
+    // non-decreasing. Verified, never assumed: any violation falls back
+    // to the shuffle path, so unsorted inputs pay one extra narrow scan,
+    // never a wrong id. Equal keys on a boundary are fine — order among
+    // equal keys is unspecified in the shuffle path too (non-stable
+    // range partitioning), only deterministic per layout.
+    val fastEligible = orderCols.forall(c => FastPathTypes.contains(
+      df.schema(df.schema.fieldIndex(c)).dataType))
+    if (fastEligible) {
+      // fix the input layout with a cache — unless the caller already
+      // cached this exact plan (persist() would no-op on the existing
+      // entry and our unpersist() would silently drop the CALLER's cache)
+      val ownCache = df.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+      val src = if (ownCache) df.persist() else df
+      def releaseSrc(): Unit = if (ownCache) { src.unpersist(); () }
+      sortedOffsets(src, orderCols) match {
+        case Some(offsets) =>
+          val out = mint(src, offsets)
+          releaseSrc()
+          return out
+        case None =>
+          // not sorted — fall through to the shuffle path (src stays
+          // cached so the shuffle reads the cache, then is dropped)
+          val shuffled = assignByShuffle(src, cols, n)
+          releaseSrc()
+          return shuffled
+      }
+    }
+    assignByShuffle(df, cols, n)
+  }
+
+  /** One verification scan over a FIXED layout: Some(per-partition id
+    * offsets) when every partition is internally sorted on the keys and
+    * partition boundaries are non-decreasing — i.e. the input is already
+    * globally sorted and ids can be minted without a shuffle. */
+  private[graft] def sortedOffsets(src: DataFrame,
+                                   orderCols: Seq[String]): Option[Array[Long]] = {
+    val order = scanOrder(src, orderCols).sortBy(_.pid)
+    val sorted = order.forall(_.sorted) &&
+      order.filter(_.count > 0).sliding(2).forall {
+        case Array(a, b) => cmpKeys(a.last, b.first) <= 0
+        case _ => true
+      }
+    if (!sorted) None
+    else {
+      val offsets = new Array[Long](order.length + 1)
+      order.foreach(p => offsets(p.pid + 1) = p.count)
+      var i = 1
+      while (i < offsets.length) { offsets(i) += offsets(i - 1); i += 1 }
+      Some(offsets)
+    }
+  }
+
+  private def assignByShuffle(df: DataFrame, cols: Seq[org.apache.spark.sql.Column],
+                              n: Int): DataFrame = {
     val parted = df
       .repartitionByRange(n, cols: _*)
       .sortWithinPartitions(cols: _*)
@@ -51,15 +206,21 @@ object DocIds {
     counts.sortBy(_._1).foreach { case (pid, c) => offsets(pid + 1) = c }
     var i = 1
     while (i < offsets.length) { offsets(i) += offsets(i - 1); i += 1 }
-    // docId = offsets(pid) + index-within-partition, in COLUMN math:
-    // monotonically_increasing_id() is documented as pid·2^33 + row index
-    // within the partition, and the scan below reads the FIXED cached
-    // layout of `parted`, so splitting it back apart and adding the
-    // partition's prefix-sum offset reproduces exactly the dense ids the
-    // old mapPartitions pass minted — without its per-row Row.fromSeq
-    // allocation and GenericRow cache (measured as part of the build's
-    // serial floor: the minting count() materialized an object cache
-    // instead of codegen'd unsafe rows)
+    val out = mint(parted, offsets)
+    parted.unpersist()
+    out
+  }
+
+  /** docId = offsets(pid) + index-within-partition, in COLUMN math:
+    * monotonically_increasing_id() is documented as pid·2^33 + row index
+    * within the partition, and the scan reads the FIXED cached layout of
+    * `parted`, so splitting it back apart and adding the partition's
+    * prefix-sum offset reproduces exactly the dense ids a per-row
+    * mapPartitions pass would mint — without its per-row Row.fromSeq
+    * allocation and GenericRow cache (measured as part of the build's
+    * serial floor: the minting count() materialized an object cache
+    * instead of codegen'd unsafe rows). */
+  private def mint(parted: DataFrame, offsets: Array[Long]): DataFrame = {
     val offArr = typedlit(offsets.toSeq)
     val out = parted
       .withColumn("_mono", monotonically_increasing_id())
@@ -70,7 +231,6 @@ object DocIds {
     // mint: every downstream plan reads these cached rows, never re-runs
     // the pid-dependent assignment
     out.count()
-    parted.unpersist()
     out
   }
 

@@ -397,6 +397,21 @@ object Gate {
              |WHERE value = 100.0 OR (value - 25.0 <= 100.0 AND value + 25.0 >= 100.0)
              |ORDER BY event_id LIMIT 500""".stripMargin)),
 
+    GateQuery("ts_range_dates",
+      // long/date range with the reference's minute-precision upper bound
+      // (SearchBucket.java:347-357 via Dates.parseUpperMs: +59,999 ms so
+      // an upper bound given as yyyyMMddHHmm includes its whole minute);
+      // inclusive both ends, pushed to the parquet scan
+      (s, d) => events(s, d)
+        .filter(graft.score.Predicates.toColumn(TsRange(
+          Dates.parseMs("202401050000"), Dates.parseUpperMs("202401052359"))))
+        .select("event_id", "user_id")
+        .orderBy("event_id").limit(500),
+      Some("""SELECT event_id, user_id FROM events
+             |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+             |  AND ts <= TIMESTAMP '2024-01-05 23:59:59.999'
+             |ORDER BY event_id LIMIT 500""".stripMargin)),
+
     GateQuery("si_units",
       // SI shadow fields (reference: Lucene.java:1650-1692): a unit alias
       // column drives per-row conversion; raw doubles compare bit-equal
@@ -546,6 +561,21 @@ object Gate {
       },
       Some("""SELECT doc_id, lang AS role FROM documents
              |ORDER BY lang, doc_id DESC LIMIT 20 OFFSET 20""".stripMargin)),
+
+    GateQuery("score_fill_sort",
+      // score fill through a field sort (reference: populateScores,
+      // Lucene.java:1498-1500): a BM25-scored query sorted by a typed
+      // field still carries every hit's score in the response
+      (s, d) => {
+        val (_, exec) = gate(s, d)
+        exec.topKSorted(parse("spark"), Nil, SortSpec(Seq(("role", true))), 20)
+          .select(col("docId").as("doc_id"), col("role"),
+            round(col("score"), 4).as("score"))
+      },
+      sql("""SELECT s.doc_id, d.lang AS role, round(s.tscore, 4) AS score
+            |FROM scores s JOIN documents d ON d.doc_id = s.doc_id
+            |WHERE s.term = 'spark'
+            |ORDER BY d.lang, s.doc_id LIMIT 20""".stripMargin)),
 
     GateQuery("fuzzy_term",
       // Lucene FuzzyQuery + TopTermsBlendedFreqScoringRewrite over the
@@ -818,6 +848,28 @@ object Gate {
       Some("""SELECT DISTINCT user_id FROM events e1 WHERE e1.event_type = 'error'
              |AND user_id IN (SELECT user_id FROM events WHERE event_type = 'purchase')
              |ORDER BY user_id""".stripMargin)),
+
+    GateQuery("join_2hop",
+      // two-hop semi-join chain (reference: InstrumentScientist →
+      // InvestigationInstrument → Investigation, SearchBucket.java:602-614):
+      // purchase events (to) reached from erroring users (from) through
+      // the purchase bridge — each hop a shuffle-free-on-small-side
+      // left_semi, never a row-multiplying inner join
+      (s, d) => {
+        val ev = events(s, d)
+        val fromKeys = ev.filter(col("event_type") === "error").select("user_id")
+        val bridge = ev.filter(col("event_type") === "purchase")
+          .select("user_id", "event_id")
+        graft.score.Joins.semiJoin2(
+            ev.select("event_id"), "event_id",
+            bridge, "user_id", "event_id",
+            fromKeys, "user_id")
+          .orderBy("event_id").limit(1000)
+      },
+      Some("""SELECT event_id FROM events WHERE event_id IN (
+             |  SELECT event_id FROM events WHERE event_type = 'purchase'
+             |  AND user_id IN (SELECT user_id FROM events WHERE event_type = 'error'))
+             |ORDER BY event_id LIMIT 1000""".stripMargin)),
 
     GateQuery("window_first_event",
       (s, d) => {

@@ -485,6 +485,24 @@ object PipelineGate {
              |    AS frag_tokens
              |FROM frag ORDER BY seq_id, doc_id""".stripMargin)),
 
+    // Deterministic training-order shuffle (epoch ordering): dense
+    // positions by FNV-1a64("ord-<seed>-<id>") — the engine's distributed
+    // range-exchange + two-phase prefix-sum must equal the oracle's plain
+    // global sort. The unsigned FNV value is mapped to the SIGNED 64-bit
+    // long Spark sorts by.
+    GateQuery("train_order",
+      (s, d) => TextAnalysis.trainingOrder(docs(s, d), seed = 42L)
+        .orderBy("pos"),
+      Some(s"""WITH h AS (
+              |  SELECT doc_id, ${fnvSql("('ord-42-' || doc_id)")} AS hu FROM documents
+              |), sgn AS (
+              |  SELECT doc_id, CAST(hu - CASE WHEN hu >= 9223372036854775808::HUGEINT
+              |    THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT) AS hs
+              |  FROM h)
+              |SELECT CAST(row_number() OVER (ORDER BY hs, doc_id) - 1 AS BIGINT) AS pos,
+              |  doc_id
+              |FROM sgn ORDER BY pos""".stripMargin)),
+
     // TF-IDF keyword extraction (round 4): top-5 characteristic terms
     // per doc; rarity ratio N/df instead of log(N/df) keeps the score one
     // exact integer product + one division, so the oracle's doubles match

@@ -368,4 +368,50 @@ object TextAnalysis {
     counts.unpersist()
     res
   }
+
+  /** Deterministic global training-order shuffle — the epoch-ordering
+    * primitive a training pipeline applies after packing: every row gets
+    * a dense position 0..N-1 in a pseudo-random but fully reproducible
+    * order (sort key FNV-1a64("ord-&lt;seed&gt;-&lt;id&gt;"), ties → id). The SAME
+    * permutation comes out at any parallelism and on any rerun — unlike
+    * `orderBy(rand(seed))`, whose draw depends on row/partition layout.
+    * A new seed is a new epoch order.
+    *
+    * Returns the ORDER MANIFEST (pos, id) — ~16 B/row at any corpus
+    * size; callers join it back to the payload (or feed it to a writer)
+    * so the text crosses the wire once, not once per epoch. Scale shape:
+    * one range exchange of the narrow (hash, id) projection, per-range-
+    * partition local ranks, and a driver prefix-sum over the per-
+    * partition counts (|partitions| longs) broadcast back — the same
+    * two-phase prefix-sum `packSequences` uses; no global window, no
+    * single-task sort. */
+  def trainingOrder(df: DataFrame, idCol: String = "doc_id",
+                    seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val hashUdf = udf((s: String) => Dedup.fnv1a64(s))
+    val keyed = df
+      .select(col(idCol))
+      .withColumn("_ord", hashUdf(concat(lit(s"ord-$seed-"), col(idCol).cast("string"))))
+      .repartitionByRange(col("_ord"), col(idCol))
+      .withColumn("pid", spark_partition_id())
+      // local rank within the range partition: the window exchanges on
+      // pid (rows of a range partition stay together) — one exchange of
+      // the 16-byte projection, never of the payload
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("pid").orderBy(col("_ord"), col(idCol))).cast("long") - 1)
+      .persist()
+    keyed.count()
+    val subtotals = keyed.groupBy("pid").agg(count(lit(1)).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val bases = subtotals.scanLeft(0L)(_ + _._2).init
+    val basesDf = spark.createDataFrame(
+      subtotals.map(_._1).zip(bases).toSeq).toDF("pid", "base")
+    val res = keyed.join(broadcast(basesDf), "pid")
+      .select((col("base") + col("rn")).as("pos"), col(idCol))
+      .persist()
+    res.count()
+    keyed.unpersist()
+    res
+  }
 }

@@ -55,7 +55,9 @@ class GateSpec extends SparkSuite {
           // curation oracle CTEs (decontam / quality_filter / pii_mask)
           "bsh", "hits", "base", "tok", "wc", "topw", "r", "aug",
           // ngram_topk / seq_pack / dedup_substring span oracle CTEs
-          "grams", "nz", "off", "frag", "isl", "dwin", "wins", "brks") --
+          "grams", "nz", "off", "frag", "isl", "dwin", "wins", "brks",
+          // train_order oracle CTEs
+          "h", "sgn") --
         // iteration CTEs: a<j>, c<j>, pii chain s<j>
         froms.filter(f => "^[acs]\\d*$".r.matches(f))
       assert(unknown.isEmpty, s"oracle references unknown tables: $unknown")

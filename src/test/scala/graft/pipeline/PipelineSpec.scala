@@ -349,6 +349,27 @@ class PipelineSpec extends SparkSuite {
     assert(perSeq.forall { case (s, t) => t == budget || s == lastSeq })
   }
 
+  test("trainingOrder: dense permutation, reproducible, seed-sensitive, hash-ordered") {
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val m1 = TextAnalysis.trainingOrder(docs, seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // dense positions 0..N-1, each id exactly once
+    assert(m1.map(_._1).sorted.toSeq === ids.indices.map(_.toLong))
+    assert(m1.map(_._2).sorted.toSeq === ids)
+    // reproducible at a different parallelism/layout
+    val m1b = TextAnalysis.trainingOrder(docs.repartition(7), seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(m1.sortBy(_._1).toSeq === m1b.sortBy(_._1).toSeq)
+    // a different seed is a different epoch order (and not the id order)
+    val m2 = TextAnalysis.trainingOrder(docs, seed = 8L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(m1.sortBy(_._1).map(_._2).toSeq !== m2.sortBy(_._1).map(_._2).toSeq)
+    assert(m1.sortBy(_._1).map(_._2).toSeq !== ids)
+    // position order IS the (signed fnv hash, id) order
+    val want = ids.map(id => (Dedup.fnv1a64(s"ord-7-$id"), id)).sorted.map(_._2)
+    assert(m1.sortBy(_._1).map(_._2).toSeq === want)
+  }
+
   test("connectedComponents: chains, cliques, singleton pairs, empty input") {
     import spark.implicits._
     // chain 1-2-3-4-5 (diameter 4 — exercises pointer jumping), clique
