@@ -143,6 +143,15 @@ object IndexBuilder {
     val hasAttrs = Seq("role", "tool", "ts").forall(corpusWithIds.columns.contains)
     val attrCols = if (hasAttrs) Seq(col("role"), col("tool"), col("ts")) else Nil
     val normUdf = udf((positions: Int) => SmallFloat.intToByte4(positions))
+    // Both branches return the per-doc groups as an ARRAY of (term, …)
+    // tuples (encoded array<struct>) rather than a Scala Map: the array
+    // is built in one pass over the LinkedHashMap entries, where the old
+    // `asScala.toMap` rebuilt an immutable HashMap per document — pure
+    // allocation in the hottest loop of the build (GC pressure is the
+    // measured 32-thread work-inflation tax). `inline`/`inline_outer`
+    // explodes array<struct> exactly as explode/explode_outer did the
+    // map (one row per entry; one null row per empty doc when
+    // keepEmptyDocs), with identical row order and values.
     if (withPositions) {
       val analyzeUdf = udf((s: String) => {
         val a = analyzer.positional(if (s == null) "" else s)
@@ -155,16 +164,24 @@ object IndexBuilder {
           buf += t.pos
           i += 1
         }
-        (scala.jdk.CollectionConverters.MapHasAsScala(posLists).asScala
-          .view.mapValues(_.toSeq).toMap, a.positions)
+        val arr = new Array[(String, Array[Int])](posLists.size())
+        val it = posLists.entrySet().iterator()
+        var j = 0
+        while (it.hasNext) {
+          val e = it.next()
+          arr(j) = (e.getKey, e.getValue.toArray)
+          j += 1
+        }
+        (arr, a.positions)
       })
       val exploded =
-        if (keepEmptyDocs) explode_outer(col("plists")) else explode(col("plists"))
+        if (keepEmptyDocs) inline_outer(col("plists")) else inline(col("plists"))
       corpusWithIds
         .select(Seq(col("docId"), analyzeUdf(col("text")).as("a")) ++ attrCols: _*)
         .select(Seq(col("docId"), col("a._1").as("plists"), normUdf(col("a._2")).as("norm")) ++ attrCols: _*)
-        .select(Seq(col("docId"), col("norm"), exploded.as(Seq("term", "positions")))
-          ++ attrCols: _*)
+        .select((Seq(col("docId"), col("norm")) ++ attrCols :+ exploded): _*)
+        .withColumnRenamed("_1", "term")
+        .withColumnRenamed("_2", "positions")
         .withColumn("tf", size(col("positions")))
         .withColumn("tf", when(col("term").isNull, lit(null)).otherwise(col("tf")).cast("int"))
         .select(Seq(col("docId"), col("norm"), col("term"), col("tf"), col("positions"))
@@ -179,16 +196,27 @@ object IndexBuilder {
           counts.put(t, counts.getOrDefault(t, 0) + 1)
           i += 1
         }
-        (scala.jdk.CollectionConverters.MapHasAsScala(counts).asScala.toMap, a.positions)
+        val arr = new Array[(String, Int)](counts.size())
+        val it = counts.entrySet().iterator()
+        var j = 0
+        while (it.hasNext) {
+          val e = it.next()
+          arr(j) = (e.getKey, e.getValue)
+          j += 1
+        }
+        (arr, a.positions)
       })
       val exploded =
-        if (keepEmptyDocs) explode_outer(col("tfs")) else explode(col("tfs"))
+        if (keepEmptyDocs) inline_outer(col("tfs")) else inline(col("tfs"))
       corpusWithIds
         .select(Seq(col("docId"), analyzeUdf(col("text")).as("a")) ++ attrCols: _*)
         .select(Seq(col("docId"), col("a._1").as("tfs"), normUdf(col("a._2")).as("norm")) ++ attrCols: _*)
-        .select(Seq(col("docId"), col("norm"), exploded.as(Seq("term", "tf")))
-          ++ attrCols: _*)
+        .select((Seq(col("docId"), col("norm")) ++ attrCols :+ exploded): _*)
+        .withColumnRenamed("_1", "term")
+        .withColumnRenamed("_2", "tf")
         .withColumn("tf", col("tf").cast("int"))
+        .select(Seq(col("docId"), col("norm"), col("term"), col("tf"))
+          ++ attrCols: _*)
     }
   }
 

@@ -74,12 +74,25 @@ object DocIds {
 
   /** One pass over a FIXED layout: per-partition counts plus sortedness
     * evidence. Keys are extracted to driver-safe values (UTF8String →
-    * byte arrays) and rows are compared in range-partition order. */
+    * byte arrays) and rows are compared in range-partition order.
+    *
+    * The scan runs over a FRESH key-only projection of `df`, for two
+    * load-bearing reasons: (a) column pruning — the columnar cache then
+    * decodes two small key columns instead of the whole payload row;
+    * (b) a fresh Dataset builds a fresh QueryExecution, so cache
+    * substitution reflects the CURRENT cache state. `df.queryExecution`
+    * itself is SHARED by `toDF()` with the parent Dataset and
+    * materializes its physical plan once — executing it after a cache
+    * drop/re-persist silently recomputes every partition from lineage
+    * (measured: a 2 s cached key scan ballooning to a 40 s full
+    * regeneration inside ProfilePhases). A narrow projection preserves
+    * partition indices, so pids stay aligned with [[mint]]'s scan. */
   private def scanOrder(df: DataFrame, orderCols: Seq[String]): Array[PartOrder] = {
-    val schema = df.schema
-    val keyIdx = orderCols.map(schema.fieldIndex).toArray
+    val keyed = df.select(orderCols.map(col): _*)
+    val schema = keyed.schema
+    val keyIdx = orderCols.indices.toArray
     val keyTypes = keyIdx.map(schema(_).dataType)
-    df.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
+    keyed.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
       // extract a driver-safe copy of the key tuple from a (reused)
       // InternalRow
       def keyOf(r: org.apache.spark.sql.catalyst.InternalRow): Array[Any] = {
