@@ -415,6 +415,22 @@ object Bench {
       val suffix = ('a' + pairsRun).toChar
       val (n, wLo) = buildAt(loCores, numConvs, s"$tmp/idx$loCores$suffix", warm = pairsRun == 0)
       val (_, wHi) = buildAt(hiCores, numConvs, s"$tmp/idx$hiCores$suffix", warm = pairsRun == 0)
+      // drop this pair's index/scratch dirs NOW — only the timings
+      // matter, and scratch lives on /dev/shm (tmpfs = RAM): a 24-pair
+      // budget accumulated ~96 GB of dead index files and got the bench
+      // OOM-killed at pair 22 with every window's artifact lost
+      Seq(s"$tmp/idx$loCores$suffix", s"$tmp/idx$hiCores$suffix").foreach { d =>
+        for (sfx <- Seq("", "-warm", "-sparklocal", "-warm-sparklocal")) {
+          val p = new java.io.File(d + sfx)
+          if (p.exists()) {
+            def rm(f: java.io.File): Unit = {
+              if (f.isDirectory) f.listFiles().foreach(rm)
+              f.delete(); ()
+            }
+            rm(p)
+          }
+        }
+      }
       turnsLo = n
       builds += ((wLo, wHi))
       pairsRun += 1
