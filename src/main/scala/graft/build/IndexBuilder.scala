@@ -240,6 +240,12 @@ object IndexBuilder {
                    saltBuckets: Int = 16, writeCorpus: Boolean = true,
                    sampleRate: Int = 100, withPositions: Boolean = false): Index = {
     val spark = corpusWithIds.sparkSession
+    // driver-phase wall timestamps (GRAFT_BUILD_PROFILE=1): splits the
+    // build's serial floor into its driver legs for the scaling work
+    val profT0 = System.nanoTime()
+    def prof(tag: String): Unit =
+      if (sys.env.get("GRAFT_BUILD_PROFILE").contains("1"))
+        System.err.println(f"PROFPH ${(System.nanoTime() - profT0) / 1e9}%7.2f $tag")
 
     // heavy-hitter + volume estimate from one deterministic doc sample —
     // ONE job: the posting-row count (volume estimate) rides the same
@@ -253,6 +259,7 @@ object IndexBuilder {
       .groupBy("term").agg(count(lit(1)).as("sdf"))
       .filter(col("sdf") * sampleRate >= hotDfThreshold)
       .select("term").collect().map(_.getString(0)).toSet
+    prof("hot_terms_collected")
     val estPostings = obsLong(sampleObs, "rows", 0L) * sampleRate
     val bHot = spark.sparkContext.broadcast(hotTerms)
     val isHot = udf((t: String) => bHot.value.contains(t))
@@ -295,6 +302,7 @@ object IndexBuilder {
       .drop("_salt")
       .sortWithinPartitions("term", "docId")
       .write.mode("overwrite").parquet(s"$dir/postings")
+    prof("postings_written")
     val sttf = obsLong(buildObs, "sttf", 0L)
     val emptyDocs = obsLong(buildObs, "emptyDocs", 0L)
 
@@ -305,6 +313,7 @@ object IndexBuilder {
     postings.groupBy(col("term"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
       .write.mode("overwrite").parquet(s"$dir/termstats")
+    prof("termstats_written")
     // docCount needs only the corpus row count (cached by DocIds.assign)
     val docCount = corpusWithIds.count() - emptyDocs
     val stats =
@@ -317,6 +326,7 @@ object IndexBuilder {
         s""""hasSegments":false,"version":1}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/meta.json"), meta)
 
+    prof("done")
     Index(corpusWithIds, postings, spark.read.parquet(s"$dir/termstats"),
       stats, analyzer.name)
   }

@@ -132,7 +132,29 @@ object DocIds {
     }.collect()
   }
 
-  def assign(df: DataFrame, orderCols: Seq[String], numPartitions: Int = 0): DataFrame = {
+  /** [[assign]] with the final materializing `count()` DEFERRED to the
+    * caller's first action — for callers that immediately run a
+    * full-scan job over the result anyway (the index build's hot-term
+    * sample), so cache fill and that job fuse into ONE Spark job
+    * instead of two serial ones (each small serial job idles every core
+    * at high parallelism — measured ~1s of the build's Amdahl floor at
+    * 32 cores).
+    *
+    * SAFETY: deferral is only taken on the presorted fast path when the
+    * caller already persisted the input (`ownCache = false`), so the
+    * source cache outlives the deferred materialization and even a
+    * racing first action mints identical ids from the FIXED cached
+    * layout. On the shuffle path (whose intermediate cache is dropped
+    * before returning) this behaves exactly like [[assign]]. */
+  private[graft] def assignLazy(df: DataFrame, orderCols: Seq[String],
+                                numPartitions: Int = 0): DataFrame =
+    assignImpl(df, orderCols, numPartitions, eager = false)
+
+  def assign(df: DataFrame, orderCols: Seq[String], numPartitions: Int = 0): DataFrame =
+    assignImpl(df, orderCols, numPartitions, eager = true)
+
+  private def assignImpl(df: DataFrame, orderCols: Seq[String], numPartitions: Int,
+                         eager: Boolean): DataFrame = {
     val spark = df.sparkSession
     val n = if (numPartitions > 0) numPartitions
             else spark.sessionState.conf.numShufflePartitions
@@ -164,7 +186,9 @@ object DocIds {
       def releaseSrc(): Unit = if (ownCache) { src.unpersist(); () }
       sortedOffsets(src, orderCols) match {
         case Some(offsets) =>
-          val out = mint(src, offsets)
+          // deferred materialization is only safe while the source cache
+          // is owned by the caller (see assignLazy scaladoc)
+          val out = mint(src, offsets, materialize = eager || ownCache)
           releaseSrc()
           return out
         case None =>
@@ -233,7 +257,8 @@ object DocIds {
     * allocation and GenericRow cache (measured as part of the build's
     * serial floor: the minting count() materialized an object cache
     * instead of codegen'd unsafe rows). */
-  private def mint(parted: DataFrame, offsets: Array[Long]): DataFrame = {
+  private def mint(parted: DataFrame, offsets: Array[Long],
+                   materialize: Boolean = true): DataFrame = {
     val offArr = typedlit(offsets.toSeq)
     val out = parted
       .withColumn("_mono", monotonically_increasing_id())
@@ -242,8 +267,11 @@ object DocIds {
         +: parted.columns.map(col): _*)
       .persist()
     // mint: every downstream plan reads these cached rows, never re-runs
-    // the pid-dependent assignment
-    out.count()
+    // the pid-dependent assignment. With materialize=false the caller's
+    // first full-scan action fills the cache instead (assignLazy — safe
+    // only while `parted`'s own cache is still alive, since a recompute
+    // then reads the same FIXED layout).
+    if (materialize) out.count()
     out
   }
 

@@ -81,6 +81,27 @@ class DocIdsSpec extends SparkSuite {
     } finally { turns.unpersist(); () }
   }
 
+  test("assignLazy mints the same dense ids as assign on a caller-cached input") {
+    val turns = TranscriptGen.generate(spark, 25).toDF().persist()
+    try {
+      turns.count()
+      val lazyIds = DocIds.assignLazy(turns, Seq("conv_id", "turn_idx"))
+      // the caller's first action materializes (here: the assertion scan)
+      assertDense(lazyIds)
+      val eager = DocIds.assign(turns, Seq("conv_id", "turn_idx"))
+      assert(lazyIds.select("docId", "conv_id", "turn_idx").collect().map(_.toSeq).sortBy(_.toString)
+        === eager.select("docId", "conv_id", "turn_idx").collect().map(_.toSeq).sortBy(_.toString))
+      lazyIds.unpersist(); eager.unpersist()
+    } finally { turns.unpersist(); () }
+  }
+
+  test("assignLazy on an UNcached input stays eager (shuffle-path safety)") {
+    // uncached sorted input: ownCache=true ⇒ the deferral must NOT be
+    // taken (src cache is dropped on return), so ids still mint eagerly
+    val turns = TranscriptGen.generate(spark, 15).toDF()
+    assertDense(DocIds.assignLazy(turns, Seq("conv_id", "turn_idx")))
+  }
+
   test("both paths agree: same ids for the same logical corpus") {
     val sortedIn = TranscriptGen.generate(spark, 30).toDF()
     val scrambled = sortedIn.orderBy(col("text"))
