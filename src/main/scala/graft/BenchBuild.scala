@@ -45,7 +45,8 @@ object BenchBuild {
     * Amdahl floor the scaling pair exposes at 32 cores. */
   private final class JobProfiler extends org.apache.spark.scheduler.SparkListener {
     final case class JobRec(id: Int, desc: String, start: Long, var end: Long,
-                            var tasks: Int, var taskMs: Long)
+                            var tasks: Int, var taskMs: Long, var gcMs: Long = 0L,
+                            var cpuMs: Long = 0L)
     val jobs = new scala.collection.mutable.ArrayBuffer[JobRec]
     private val byId = new scala.collection.mutable.HashMap[Int, JobRec]
     private val stageToJob = new scala.collection.mutable.HashMap[Int, JobRec]
@@ -68,6 +69,8 @@ object BenchBuild {
         stageToJob.get(e.stageInfo.stageId).foreach { r =>
           r.tasks += e.stageInfo.numTasks
           r.taskMs += e.stageInfo.taskMetrics.executorRunTime
+          r.gcMs += e.stageInfo.taskMetrics.jvmGCTime
+          r.cpuMs += e.stageInfo.taskMetrics.executorCpuTime / 1000000
         }
       }
     def report(t0Nanos: Long, wallSecs: Double, cores: Int): Unit = synchronized {
@@ -81,7 +84,8 @@ object BenchBuild {
         val par = if (wall > 0) r.taskMs / 1000.0 / wall else 0.0
         System.err.println(
           f"PROF job=${r.id}%3d gap=${gap}%6.2f wall=${wall}%6.2f " +
-          f"taskSum=${r.taskMs / 1000.0}%7.1f par=${par}%5.1f/$cores tasks=${r.tasks}%4d ${r.desc}")
+          f"taskSum=${r.taskMs / 1000.0}%7.1f cpu=${r.cpuMs / 1000.0}%7.1f " +
+          f"gc=${r.gcMs / 1000.0}%6.1f par=${par}%5.1f/$cores tasks=${r.tasks}%4d ${r.desc}")
         prevEnd = math.max(prevEnd, r.end)
       }
       val tail = wallSecs - (prevEnd - t0Ms) / 1000.0
@@ -110,6 +114,19 @@ object BenchBuild {
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")
       .config("spark.local.dir", localDir)
+      // Execution memory off-heap: the postings sort/parquet stage's
+      // sorter pages are task-lifetime objects that G1 keeps evacuating
+      // and ParallelGC keeps survivor-copying (measured 185 s GC @8 /
+      // 1,835 core-s GC @32 in one window); off-heap removes them from
+      // the GC entirely (same stage, same weather: 0.2–6 s GC).
+      .config("spark.memory.offHeap.enabled", "true")
+      .config("spark.memory.offHeap.size", "16g")
+      // AQE partition coalescing folds the volume-sized postings
+      // exchange back to ≤ core-count partitions (64→32 at 32 cores,
+      // 16→9 at 8), turning the sort/write reduce into a single
+      // straggler-exposed wave; the explicit partition count IS the
+      // tail-hiding choice, so keep it.
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     try {
