@@ -351,33 +351,59 @@ object Curation {
     * corpus-vs-corpus view of [[decontaminate]]).
     * Returns (src_a, src_b, inter, sz_a, sz_b, jaccard), src_a < src_b.
     *
-    * Plan at 100 TB: per-doc distinct shingles (narrow, array_distinct
-    * in-row) → (source, xxhash64(gram)) DISTINCT — the one big shuffle,
-    * 8-byte keys + a small source tag → self-join keyed by gram hash
-    * (rows are distinct per source, so a gram contributes at most
-    * nSources² join rows — no hot-key quadratics) → pair counts; sizes
-    * come from the same distinct frame and broadcast into the tiny
-    * pair frame. The gate oracle replays over the gram STRINGS,
-    * certifying the 8-byte-key trade collision-free. */
+    * Plan at 100 TB: sources are a corpus-level enum (handfuls, not
+    * millions), so each source gets a BIT and the whole report derives
+    * from one aggregation: per-doc distinct shingles (narrow,
+    * array_distinct in-row) → (xxhash64(gram), sourceBit) → groupBy gram
+    * hash with bit_or — the ONE big shuffle, 8-byte key + 8-byte mask,
+    * map-side combinable, and idempotent so no per-source DISTINCT pass
+    * is needed — → mask histogram (≤ min(2^nSources, nGrams) rows).
+    * Per-source sizes and every pairwise intersection are sums over
+    * that tiny histogram (sz_a = Σ c over masks containing a; inter =
+    * Σ c over masks containing both), so the gram-keyed self-join the
+    * naive plan pays (two more full-size exchanges + join) never
+    * happens. The gate oracle replays over the gram STRINGS with a real
+    * self-join, certifying both the 8-byte-key trade and the bitmask
+    * algebra. Corpora with more than 62 sources need a wider mask
+    * (array of longs) — out of scope until a real corpus needs it. */
   def sourceOverlap(df: DataFrame, n: Int = 3, srcCol: String = "source",
                     textCol: String = "text"): DataFrame = {
     require(n >= 1, s"need n >= 1; got n=$n")
-    // eager persist: ss feeds THREE legs (self-join both sides + sizes)
-    // — uncached, each leg re-runs the whole tokenize+shingle+distinct
-    // pipeline (the decontaminate recompute pitfall, advisor round 4)
-    val ss = Dedup.shingleSets(df, n, srcCol, textCol)
+    // source dictionary: tiny by contract; sorted, so bit order = name
+    // order and bit-pair order matches the src_a < src_b output contract
+    val srcNames = df.select(col(srcCol).cast("string").as("s"))
+      .where(col("s").isNotNull).distinct()
+      .collect().map(_.getString(0)).sorted
+    require(srcNames.length <= 62,
+      s"sourceOverlap's bitmask plan supports <= 62 sources; got ${srcNames.length}")
+    val bitLit = typedLit(srcNames.zipWithIndex.toMap)
+    val nameLit = typedLit(srcNames.zipWithIndex.map(_.swap).toMap)
+    val masks = Dedup.shingleSets(df, n, srcCol, textCol)
       .select(col("id").as("src"), explode(col("set")).as("s"))
-      .select(col("src"), xxhash64(col("s")).as("h"))
-      .distinct()
-      .persist()
-    ss.count()
-    val sizes = ss.groupBy("src").agg(count(lit(1)).as("sz"))
-    val inter = ss.select(col("src").as("src_a"), col("h"))
-      .join(ss.select(col("src").as("src_b"), col("h")), "h")
-      .where(col("src_a") < col("src_b"))
-      .groupBy("src_a", "src_b").agg(count(lit(1)).as("inter"))
+      .where(col("src").isNotNull)
+      .select(xxhash64(col("s")).as("h"),
+        element_at(bitLit, col("src").cast("string")).as("b"))
+      .select(col("h"), expr("shiftleft(CAST(1 AS BIGINT), b)").as("bit"))
+      .groupBy("h").agg(expr("bit_or(bit)").as("mask"))
+    val mc = masks.groupBy("mask").agg(count(lit(1)).as("c")).persist()
+    mc.count()
+    val nSrc = srcNames.length
+    val bitsUdf = udf { (m: Long) =>
+      (0 until nSrc).filter(i => (m & (1L << i)) != 0L)
+    }
+    val pairsUdf = udf { (m: Long) =>
+      val bs = (0 until nSrc).filter(i => (m & (1L << i)) != 0L)
+      for { i <- bs.indices; j <- (i + 1) until bs.length } yield (bs(i), bs(j))
+    }
+    val sizes = mc.select(explode(bitsUdf(col("mask"))).as("b"), col("c"))
+      .groupBy("b").agg(sum("c").as("sz"))
+      .select(element_at(nameLit, col("b")).as("src"), col("sz"))
+    val inter = mc.select(explode(pairsUdf(col("mask"))).as("p"), col("c"))
+      .groupBy("p").agg(sum("c").as("inter"))
+      .select(element_at(nameLit, col("p._1")).as("src_a"),
+        element_at(nameLit, col("p._2")).as("src_b"), col("inter"))
     // every source pair appears in the report — disjoint pairs carry
-    // inter = 0 (the self-join alone would silently drop them)
+    // inter = 0 (the histogram alone would silently drop them)
     val out = sizes.select(col("src").as("src_a"), col("sz").as("sz_a"))
       .crossJoin(sizes.select(col("src").as("src_b"), col("sz").as("sz_b")))
       .where(col("src_a") < col("src_b"))
@@ -387,8 +413,8 @@ object Curation {
         round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 6))
       .select("src_a", "src_b", "inter", "sz_a", "sz_b", "jaccard")
       .persist()
-    out.count() // materialize (nSources² rows — tiny) before dropping ss
-    ss.unpersist()
+    out.count() // materialize (nSources² rows — tiny) before dropping mc
+    mc.unpersist()
     out
   }
 }

@@ -181,17 +181,40 @@ object Dedup {
   /** [[shingleSets]] over an already-tokenized (id, w) frame — the entry
     * point Curation.pipeline uses so one persisted token pass feeds the
     * quality, dedup and decontamination stages. */
-  private[pipeline] def shingleSetsFromTokens(df: DataFrame, n: Int): DataFrame =
+  private[pipeline] def shingleSetsFromTokens(df: DataFrame, n: Int): DataFrame = {
+    // One imperative UDF instead of the HOF chain
+    // (transform+sequence+slice+concat_ws+array_distinct) it replaces:
+    // higher-order functions are CodegenFallback, and in interpreted
+    // mode there is NO subexpression elimination — when the optimizer's
+    // CollapseProject inlines an unmaterialized tokens column into the
+    // lambda body, the whole tokenizer re-runs per shingle POSITION
+    // (measured: 10.5 s to shingle 5k short docs vs 0.5 s for this UDF;
+    // same disease as the round-4 quality-signal fix). The UDF evaluates
+    // its input once per row by construction, handles the size(w) < n
+    // guard internally (empty set), and null tokens degrade to an empty
+    // array (advisor round 4).
+    val shUdf = udf { (w: Seq[String]) =>
+      if (w == null || w.length < n) Array.empty[String]
+      else {
+        val out = new scala.collection.mutable.LinkedHashSet[String]
+        val sb = new java.lang.StringBuilder(64)
+        var i = 0
+        while (i + n <= w.length) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(w(i + j)); j += 1
+          }
+          out += sb.toString; i += 1
+        }
+        out.toArray
+      }
+    }
     df.where(size(col("w")) >= n)
-      // the when() guard repeats the filter INSIDE the expression: the
-      // optimizer may evaluate a projection on rows the filter would drop
-      // (e.g. constant folding over a local relation reordered around the
-      // spread exchange), and sequence(0, negative) throws
-      .select(col("id"), when(size(col("w")) >= n, array_distinct(
-        transform(sequence(lit(0), size(col("w")) - n),
-          i => concat_ws(" ", slice(col("w"), i + lit(1), lit(n))))))
-        .otherwise(array().cast("array<string>")).as("set"))
+      .select(col("id"), shUdf(col("w")).as("set"))
       .withColumn("sz", size(col("set")).cast("long"))
+  }
 
   /** Word n-gram shingles: (id, shingle) distinct (shuffle-free — the
     * dedup happens inside each document's array). */
