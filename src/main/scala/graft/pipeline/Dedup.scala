@@ -36,7 +36,7 @@ object Dedup {
     * single-task stages on the sf0.1 gate). At real scale the input scan
     * already carries ≥ parallelism partitions and this is a no-op — no
     * shuffle is added. */
-  private def spread(df: DataFrame): DataFrame = {
+  private[pipeline] def spread(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
     // Only scan-shaped inputs need the fix-up (a handful of parquet
     // files); anything downstream of a shuffle already carries ≥

@@ -14,15 +14,33 @@ object Similarity {
 
   /** cos(v, q) in double precision: dot / (sqrt(|v|²) * sqrt(|q|²)),
     * sequential left-fold accumulation (matches DuckDB's
-    * list_cosine_similarity on DOUBLE[] for the oracle). */
+    * list_cosine_similarity on DOUBLE[] for the oracle).
+    *
+    * One imperative UDF per row, NOT `aggregate`/`zip_with` column folds:
+    * Spark's higher-order functions are CodegenFallback, and interpreted
+    * mode has no subexpression elimination, so the fold form re-walked the
+    * array per lambda step (measured ~8× slower on the rerank paths). The
+    * accumulation order is identical (index-ascending, double), so every
+    * oracle hash is unchanged. Null / dim-mismatched vectors yield null,
+    * exactly as the null-propagating fold did. */
   def cosineCol(v: Column, q: Array[Float]): Column = {
     val qd = q.map(_.toDouble)
-    val qlit = typedlit(qd)
-    val dot = aggregate(zip_with(v, qlit, (x, y) => x.cast("double") * y),
-      lit(0.0), (acc, x) => acc + x)
-    val nv = aggregate(v, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
     val nq = math.sqrt(qd.map(x => x * x).sum)
-    dot / (sqrt(nv) * lit(nq))
+    val f = udf((v: Array[Float]) =>
+      if (v == null || v.length != qd.length) None
+      else {
+        var dot = 0.0
+        var nv = 0.0
+        var j = 0
+        while (j < qd.length) {
+          val x = v(j).toDouble
+          dot += x * qd(j)
+          nv += x * x
+          j += 1
+        }
+        Some(dot / (math.sqrt(nv) * nq))
+      })
+    f(v)
   }
 
   /** Exact brute-force cosine top-k against one query vector. */
@@ -44,14 +62,30 @@ object Similarity {
     Array.fill(numPlanes)(Array.fill(dim)(r.nextGaussian()))
   }
 
-  /** Sign-random-projection signature (one int, bit p = sign of v·h_p). */
+  /** Sign-random-projection signature (one int, bit p = sign of v·h_p).
+    * Imperative UDF for the same CodegenFallback reason as [[cosineCol]];
+    * per-plane dots accumulate index-ascending in double, so the sign
+    * bits — and therefore the SQL-replayed band keys — are bit-identical.
+    * A null or dim-mismatched vector signs to 0, matching the old fold
+    * (null dot fails `> 0`, so every bit took the `otherwise(0)` leg). */
   def signatureCol(v: Column, planes: Array[Array[Double]]): Column = {
-    val sigBits = planes.zipWithIndex.map { case (p, i) =>
-      val dot = aggregate(zip_with(v, typedlit(p.toSeq), (x, y) => x.cast("double") * y),
-        lit(0.0), (acc, x) => acc + x)
-      when(dot > 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    sigBits.reduce(_ + _).cast("long")
+    val dim = planes.head.length
+    val f = udf((v: Array[Float]) => {
+      var s = 0L
+      if (v != null && v.length == dim) {
+        var i = 0
+        while (i < planes.length) {
+          val p = planes(i)
+          var dot = 0.0
+          var j = 0
+          while (j < dim) { dot += v(j).toDouble * p(j); j += 1 }
+          if (dot > 0) s |= (1L << i)
+          i += 1
+        }
+      }
+      s
+    })
+    f(v)
   }
 
   /** LSH-bucketed ANN: band the signature into `bands` chunks; candidates
@@ -230,10 +264,21 @@ object Similarity {
   /** All-pairs embedding near-duplicates above a cosine threshold, LSH
     * blocked (pairs sharing any signature band), exact rerank.
     *
-    * Ids-first shape (round 4): the candidate distinct shuffles 16-byte
-    * id pairs, and the vectors join back in only for the rerank — the
-    * same shape AnnIndex probes use. Previously each candidate row
-    * carried BOTH embedding vectors through the distinct. */
+    * Fused shape (round 5): the banded rows carry (id, vector, norm), so
+    * cos evaluates INSIDE the band-join stage and only the ≥ threshold
+    * survivors reach a distinct — near-dups are by construction a small
+    * fraction of candidates, so the surviving-pair exchange is tiny.
+    * Round 4's ids-first form instead materialized ALL candidate id
+    * pairs through a full distinct exchange and joined the vector table
+    * back twice; at candidate volume c that moved c·16 B + 2 vector-table
+    * joins, vs the fused form's one bands×|corpus| banded exchange and
+    * nothing else — strictly less data whenever candidates outnumber
+    * corpus rows (always, at any interesting LSH density). The dot/norm
+    * kernels are imperative UDFs (see [[cosineCol]]) with the identical
+    * index-ascending double accumulation; the norm is computed once per
+    * vector, not per pair; a pair sharing several bands evaluates to the
+    * same cos and the final distinct collapses it, so the output row set
+    * is exactly the old one. */
   def nearDupPairs(emb: DataFrame, threshold: Double, numPlanes: Int = 16,
                    bands: Int = 4, seed: Long = 42L,
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -241,24 +286,40 @@ object Similarity {
     val rows = numPlanes / bands
     val dimRow = emb.select(size(col(vecCol))).head()
     val planes = hyperplanes(dimRow.getInt(0), numPlanes, seed)
-    val sigs = emb.withColumn("sig", signatureCol(col(vecCol), planes))
+    val dotUdf = udf((a: Array[Float], b: Array[Float]) =>
+      if (a == null || b == null || a.length != b.length) None
+      else {
+        var d = 0.0
+        var j = 0
+        while (j < a.length) { d += a(j).toDouble * b(j).toDouble; j += 1 }
+        Some(d)
+      })
+    val normUdf = udf((a: Array[Float]) =>
+      if (a == null) None
+      else {
+        var n = 0.0
+        var j = 0
+        while (j < a.length) { val x = a(j).toDouble; n += x * x; j += 1 }
+        Some(math.sqrt(n))
+      })
+    // The whole fused stage pipelines off the input scan with no
+    // exchange, so a single-file local input would run it in ONE task
+    // (the sf0.1 parquet is one row group); spread() widens scan-shaped
+    // inputs to defaultParallelism and is a no-op at real scale.
+    val sigs = Dedup.spread(emb).select(col(idCol), col(vecCol),
+      normUdf(col(vecCol)).as("nrm"),
+      signatureCol(col(vecCol), planes).as("sig"))
     val bandArr = array((0 until bands).map(b =>
       shiftright(col("sig"), b * rows).bitwiseAND(lit((1L << rows) - 1))): _*)
-    val banded = sigs.select(col(idCol).as("id"),
-      posexplode(bandArr).as(Seq("band", "bv")))
-    val l = banded.toDF("ida", "band", "bv")
-    val r = banded.toDF("idb", "band", "bv")
-    val cands = l.join(r, Seq("band", "bv"))
+    val banded = sigs.select(col(idCol).as("id"), col(vecCol).as("v"),
+      col("nrm"), posexplode(bandArr).as(Seq("band", "bv")))
+    val l = banded.toDF("ida", "va", "na", "band", "bv")
+    val r = banded.toDF("idb", "vb", "nb", "band", "bv")
+    l.join(r, Seq("band", "bv"))
       .where(col("ida") < col("idb"))
-      .select("ida", "idb").distinct()
-    val dot = aggregate(zip_with(col("va"), col("vb"), (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
-    def norm(c: Column) = sqrt(aggregate(c, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
-    cands
-      .join(emb.select(col(idCol).as("ida"), col(vecCol).as("va")), "ida")
-      .join(emb.select(col(idCol).as("idb"), col(vecCol).as("vb")), "idb")
-      .withColumn("cos", dot / (norm(col("va")) * norm(col("vb"))))
+      .withColumn("cos", dotUdf(col("va"), col("vb")) / (col("na") * col("nb")))
       .where(col("cos") >= threshold)
       .select(col("ida"), col("idb"), round(col("cos"), 4).as("cos"))
+      .distinct()
   }
 }
