@@ -1,6 +1,6 @@
 package graft.gate
 
-import graft.pipeline.{AnnIndex, Curation, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{AnnIndex, Curation, Dedup, LanguageModel, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -73,8 +73,15 @@ object PipelineGate {
     * bit-identical to the Scala build. The 8 Lloyd iterations unroll as
     * generated CTE pairs (a_j = assignment, c_{j+1} = re-centered grid
     * centroids; empty cells keep their previous centroid). */
-  private lazy val ivfOracleSql: String = {
-    val iters = 8
+  /** Shared DuckDB replay of the exact-integer k-means coarse quantizer
+    * (hashed FNV sample, rate ⌊N/1024⌋, cap 4096; `iters` Lloyd
+    * iterations unrolled as CTE pairs; empty cells keep their previous
+    * centroid). `kExprSql` is the cell-count expression — the ONE knob
+    * the two users differ on (IVF: ~√N probe-balance; semdedup:
+    * ⌈N/occupancy⌉ fixed-occupancy). Emits CTEs `qd` (quantized grid),
+    * `nt`, `samp`, `km`, `sq`, and `c0..c<iters>`; callers append
+    * their own assignment/probe tail. */
+  private def kmeansOracleCtes(kExprSql: String, iters: Int): String = {
     val head =
       s"""WITH qd AS MATERIALIZED (
          |  SELECT vec_id,
@@ -90,8 +97,8 @@ object PipelineGate {
          |), samp AS MATERIALIZED (SELECT vec_id, rn FROM samp0 WHERE rn < 4096
          |), km AS MATERIALIZED (
          |  SELECT count(*) AS n,
-         |         least(CAST(ceil(sqrt((SELECT n FROM nt))) AS INT), count(*)) AS k,
-         |         count(*) // least(CAST(ceil(sqrt((SELECT n FROM nt))) AS INT), count(*)) AS stride
+         |         least($kExprSql, count(*)) AS k,
+         |         count(*) // least($kExprSql, count(*)) AS stride
          |  FROM samp
          |), sq AS MATERIALIZED (SELECT qd.vec_id, qd.d, qd.qv FROM qd JOIN samp USING (vec_id)),
          |c0 AS MATERIALIZED (
@@ -117,6 +124,11 @@ object PipelineGate {
          |  ON p.cell = m.cell AND p.d = m.d
          |)""".stripMargin
     }.mkString(",\n", ",\n", "")
+    head + steps
+  }
+
+  private lazy val ivfOracleSql: String = {
+    val iters = 8
     val tail =
       s""",
          |acell AS MATERIALIZED (
@@ -142,7 +154,38 @@ object PipelineGate {
          |CROSS JOIN qe
          |ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], qe.e) DESC, e.vec_id
          |LIMIT 10""".stripMargin
-    head + steps + tail
+    kmeansOracleCtes("CAST(ceil(sqrt((SELECT n FROM nt))) AS INT)", iters) + tail
+  }
+
+  /** DuckDB replay of Similarity.semDedup (threshold 0.35, occupancy 64,
+    * same hashed sample + 8 Lloyd iterations as the IVF oracle): assign
+    * every vector to its final cell, generate in-cell smaller-id pairs,
+    * and mark a vector dropped when any smaller-id cell-mate sits at
+    * cosine ≥ threshold. */
+  private lazy val semDedupOracleSql: String = {
+    val tail =
+      s""",
+         |acell AS MATERIALIZED (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT q.vec_id, c.cell,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY sum((q.qv - c.cv)*(q.qv - c.cv)), c.cell) AS rk
+         |    FROM qd q JOIN c8 c USING (d)
+         |    GROUP BY q.vec_id, c.cell)
+         |  WHERE rk = 1
+         |), ev AS MATERIALIZED (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |), dropped AS MATERIALIZED (
+         |  SELECT DISTINCT b.vec_id AS id
+         |  FROM acell a JOIN acell b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  JOIN ev ea ON ea.vec_id = a.vec_id
+         |  JOIN ev eb ON eb.vec_id = b.vec_id
+         |  WHERE list_cosine_similarity(ea.v, eb.v) >= 0.35
+         |)
+         |SELECT a.vec_id, a.cell,
+         |       a.vec_id NOT IN (SELECT id FROM dropped) AS is_kept
+         |FROM acell a ORDER BY a.vec_id""".stripMargin
+    kmeansOracleCtes("CAST(ceil((SELECT n FROM nt) * 1.0 / 64) AS INT)", 8) + tail
   }
 
   /** Shared shingle CTE for dedup oracles (5-gram over simple tokens). */
@@ -530,6 +573,52 @@ object PipelineGate {
              |  round(raw_score, 4) AS score, CAST(rank AS INT) AS rank
              |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin)),
 
+    // Bigram LM quality score (round 5): vocab = top-32 tokens (count
+    // desc, token asc), OOV bucket, add-one smoothing, fixed-point
+    // integer per-position probabilities — the oracle replays train +
+    // score exactly (integer floor division, order-independent long
+    // sums; see LanguageModel's scaladoc for why NOT log-space).
+    GateQuery("lm_score",
+      (s, d) => LanguageModel.lmScore(docs(s, d), vocabSize = 32)
+        .orderBy("doc_id"),
+      Some("""WITH w AS (
+             |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS w
+             |  FROM documents
+             |), tok AS (
+             |  SELECT doc_id, unnest(generate_series(1, len(w))) AS i, unnest(w) AS t
+             |  FROM w WHERE len(w) > 0
+             |), unic AS (SELECT t, count(*) AS c FROM tok GROUP BY t
+             |), voc AS (
+             |  SELECT t, CAST(row_number() OVER (ORDER BY c DESC, t ASC) - 1 AS BIGINT) AS vid
+             |  FROM unic QUALIFY row_number() OVER (ORDER BY c DESC, t ASC) <= 32
+             |), nv AS (SELECT count(*) AS v FROM voc
+             |), vids AS (
+             |  SELECT tok.doc_id, tok.i, coalesce(voc.vid, (SELECT v FROM nv)) AS vid
+             |  FROM tok LEFT JOIN voc USING (t)
+             |), big AS (
+             |  SELECT a.doc_id, a.vid AS v1, b.vid AS v2
+             |  FROM vids a JOIN vids b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+             |), bc AS (SELECT v1, v2, count(*) AS c12 FROM big GROUP BY v1, v2
+             |), hc AS (SELECT v1, sum(c12) AS c1 FROM bc GROUP BY v1
+             |), pos AS (
+             |  SELECT big.doc_id,
+             |    (1000000000 * (bc.c12 + 1)) // (hc.c1 + (SELECT v FROM nv) + 1) AS pfp
+             |  FROM big JOIN bc USING (v1, v2) JOIN hc USING (v1)
+             |), agg AS (SELECT doc_id, sum(pfp) AS s FROM pos GROUP BY doc_id
+             |), oo AS (
+             |  SELECT doc_id, count(*) AS n_tokens,
+             |         count(*) FILTER (WHERE vid = (SELECT v FROM nv)) AS n_oov
+             |  FROM vids GROUP BY doc_id
+             |)
+             |SELECT d.doc_id,
+             |  coalesce(oo.n_tokens, 0) AS n_tokens,
+             |  coalesce(oo.n_oov, 0) AS n_oov,
+             |  CASE WHEN oo.n_tokens > 0 THEN round(oo.n_oov * 1.0 / oo.n_tokens, 4) END AS oov_ratio,
+             |  CASE WHEN oo.n_tokens IS NOT NULL THEN oo.n_tokens - 1 ELSE 0 END AS n_bigrams,
+             |  CASE WHEN oo.n_tokens >= 2 THEN round(agg.s / ((oo.n_tokens - 1) * 1000000000.0), 6) END AS lm_mean_p
+             |FROM documents d LEFT JOIN oo USING (doc_id) LEFT JOIN agg USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin)),
+
     GateQuery("token_counts",
       (s, d) => TextAnalysis.tokenCounts(docs(s, d))
         .select("doc_id", "ws_tokens").orderBy("doc_id"),
@@ -703,6 +792,15 @@ object PipelineGate {
               |  SELECT ida, idb, list_cosine_similarity(ea.v, eb.v) AS cos
               |  FROM cand JOIN e ea ON ea.vec_id = ida JOIN e eb ON eb.vec_id = idb)
               |WHERE cos >= 0.35 ORDER BY ida, idb""".stripMargin)),
+
+    // Semantic dedup (round 5): exact-integer k-means cells sized for
+    // fixed occupancy, in-cell smaller-id-neighbor drop rule — the
+    // oracle replays quantizer training, assignment, and the in-cell
+    // cosine pairs end to end (shared CTE generator with ann_ivf).
+    GateQuery("semdedup",
+      (s, d) => Similarity.semDedup(embeddings(s, d), threshold = 0.35,
+        targetOccupancy = 64).orderBy("vec_id"),
+      Some(semDedupOracleSql)),
 
     // Benchmark decontamination (round 4): the deterministic doc_id%25==0
     // slice plays the benchmark/eval set, the rest is the corpus; any

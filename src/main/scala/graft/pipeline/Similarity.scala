@@ -322,4 +322,69 @@ object Similarity {
       .select(col("ida"), col("idb"), round(col("cos"), 4).as("cos"))
       .distinct()
   }
+
+  /** Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster the
+    * embedding space with the exact-integer k-means coarse quantizer,
+    * then within each cluster drop every vector that has a SMALLER-id
+    * neighbor at cosine ≥ `threshold` (deterministic keep-lowest-id
+    * representative — the same keep rule as the text dedup family; no
+    * transitive closure, matching the paper's within-cluster pruning).
+    * Returns (vec_id, cell, is_kept) for every input vector.
+    *
+    * Scale shape: UNLIKE the IVF index (~√N cells to balance probe
+    * cost), semdedup sizes the cell count for FIXED occupancy
+    * (`targetOccupancy`, default 64): the in-cell comparison is
+    * quadratic in occupancy, so cells = ⌈N / occupancy⌉ keeps per-cell
+    * work constant as the corpus grows — total candidate volume is
+    * N·occupancy/2 pairs, linear in N. The only exchange is the
+    * self-join keyed on the 4-byte cell id; norms are computed once
+    * per row before the join, and the quantizer trains on the same
+    * hashed ~1k-row sample the IVF build uses, so the whole operator
+    * (k-means included) replays exactly in the DuckDB gate oracle. */
+  def semDedup(emb: DataFrame, threshold: Double, targetOccupancy: Int = 64,
+               sampleSize: Int = 1024, seed: Long = 42L,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(targetOccupancy >= 1, s"need targetOccupancy >= 1; got $targetOccupancy")
+    val n = emb.count()
+    val cells = math.max(1L, math.ceil(n.toDouble / targetOccupancy).toLong).toInt
+    val sample = ivfSampleQ(emb, n, sampleSize, seed, idCol, vecCol)
+    val cents = kmeansCentroidsQ(sample, math.min(cells, sample.length))
+    val bCents = emb.sparkSession.sparkContext.broadcast(cents)
+    val cellUdf = udf((v: Seq[Float]) => nearestCentroidQ(quantize(v), bCents.value))
+    val dotUdf = udf((a: Array[Float], b: Array[Float]) =>
+      if (a == null || b == null || a.length != b.length) None
+      else {
+        var d = 0.0
+        var j = 0
+        while (j < a.length) { d += a(j).toDouble * b(j).toDouble; j += 1 }
+        Some(d)
+      })
+    val normUdf = udf((a: Array[Float]) =>
+      if (a == null) None
+      else {
+        var nn = 0.0
+        var j = 0
+        while (j < a.length) { val x = a(j).toDouble; nn += x * x; j += 1 }
+        Some(math.sqrt(nn))
+      })
+    val assigned = Dedup.spread(emb)
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        normUdf(col(vecCol)).as("nrm"), cellUdf(col(vecCol)).as("cell"))
+      .persist()
+    assigned.count()
+    val l = assigned.toDF("ida", "va", "na", "cell")
+    val r = assigned.toDF("idb", "vb", "nb", "cell")
+    val dropped = l.join(r, Seq("cell"))
+      .where(col("ida") < col("idb"))
+      .where(dotUdf(col("va"), col("vb")) / (col("na") * col("nb"))
+        >= lit(threshold))
+      .select(col("idb").as("id")).distinct()
+    val out = assigned.join(dropped.withColumn("__drop", lit(true)), Seq("id"), "left")
+      .select(col("id").as(idCol), col("cell"),
+        not(coalesce(col("__drop"), lit(false))).as("is_kept"))
+      .persist()
+    out.count() // materialize before dropping the assignment cache
+    assigned.unpersist()
+    out
+  }
 }

@@ -57,7 +57,11 @@ class GateSpec extends SparkSuite {
           // ngram_topk / seq_pack / dedup_substring span oracle CTEs
           "grams", "nz", "off", "frag", "isl", "dwin", "wins", "brks",
           // train_order oracle CTEs
-          "h", "sgn") --
+          "h", "sgn",
+          // lm_score oracle CTEs
+          "unic", "voc", "nv", "vids", "big", "pos", "agg", "oo",
+          // semdedup oracle CTEs
+          "ev", "dropped") --
         // iteration CTEs: a<j>, c<j>, pii chain s<j>
         froms.filter(f => "^[acs]\\d*$".r.matches(f))
       assert(unknown.isEmpty, s"oracle references unknown tables: $unknown")

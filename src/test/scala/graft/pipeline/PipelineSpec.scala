@@ -507,4 +507,85 @@ class PipelineSpec extends SparkSuite {
       (1L, 0, 8, 1L), (1L, 17, 25, 1L), // doc 1: both blocks, separate spans
       (2L, 0, 8, 1L), (3L, 7, 15, 1L)))
   }
+
+  test("lmScore: engine matches an independent driver-side bigram LM") {
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("")))
+    def tok(s: String): Seq[String] =
+      s.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    val v = 8
+    val counts = texts.flatMap { case (_, t) => tok(t) }
+      .groupBy(identity).map { case (t, xs) => (t, xs.length) }
+    val vocab = counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(v)
+      .zipWithIndex.map { case ((t, _), i) => t -> i }.toMap
+    val vSz = vocab.size
+    val bigs = texts.flatMap { case (_, t) =>
+      val ids = tok(t).map(x => vocab.getOrElse(x, vSz).toLong)
+      ids.zip(ids.drop(1))
+    }
+    val c12 = bigs.groupBy(identity).map { case (k, xs) => (k, xs.length.toLong) }
+    val c1 = bigs.groupBy(_._1).map { case (k, xs) => (k, xs.length.toLong) }
+    val expected = texts.map { case (id, t) =>
+      val ids = tok(t).map(x => vocab.getOrElse(x, vSz).toLong)
+      val nb = math.max(0, ids.length - 1)
+      val sum = ids.zip(ids.drop(1)).map { p =>
+        1000000000L * (c12.getOrElse(p, 0L) + 1L) / (c1.getOrElse(p._1, 0L) + vSz + 1L)
+      }.sum
+      val mean = if (nb > 0)
+        Some(BigDecimal(sum.toDouble / (nb.toDouble * 1e9))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      else None
+      id -> ((ids.length.toLong, ids.count(_ == vSz.toLong).toLong, nb.toLong, mean))
+    }.toMap
+    val got = LanguageModel.lmScore(docs, vocabSize = v).collect()
+    assert(got.length === texts.length)
+    got.foreach { r =>
+      val (nt, noov, nb, mean) = expected(r.getLong(0))
+      assert(r.getLong(1) === nt)
+      assert(r.getLong(2) === noov)
+      assert(r.getLong(4) === nb)
+      val gotMean = if (r.isNullAt(5)) None else Some(r.getDouble(5))
+      assert(gotMean === mean, s"doc ${r.getLong(0)}")
+    }
+  }
+
+  test("lmScore: null and empty texts degrade to zero-token rows") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a b a b"), (2L, null: String), (3L, "???"), (4L, "solo"))
+      .toDF("doc_id", "text")
+    val got = LanguageModel.lmScore(corpus, vocabSize = 4)
+      .orderBy("doc_id").collect()
+    assert(got.map(_.getLong(1)).toSeq === Seq(4L, 0L, 0L, 1L))
+    assert(got.map(_.getLong(4)).toSeq === Seq(3L, 0L, 0L, 0L))
+    assert(!got(0).isNullAt(5) && got(1).isNullAt(5) &&
+      got(2).isNullAt(5) && got(3).isNullAt(5))
+  }
+
+  test("semDedup: drop rule matches brute-force in-cell smaller-id neighbors") {
+    val out = Similarity.semDedup(emb, threshold = 0.35, targetOccupancy = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    val vecs = emb.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+    assert(out.length === vecs.size)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var j = 0
+      while (j < a.length) {
+        d += a(j).toDouble * b(j).toDouble
+        na += a(j).toDouble * a(j).toDouble
+        nb += b(j).toDouble * b(j).toDouble
+        j += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byCell = out.groupBy(_._2)
+    out.foreach { case (id, cell, kept) =>
+      val hasSmallerNeighbor = byCell(cell).exists { case (other, _, _) =>
+        other < id && cos(vecs(other), vecs(id)) >= 0.35
+      }
+      assert(kept === !hasSmallerNeighbor, s"vec $id cell $cell")
+    }
+    // the fixed-occupancy sizing keeps every cell id in range
+    val nCells = math.ceil(vecs.size / 16.0).toInt
+    assert(out.forall { case (_, c, _) => c >= 0 && c < nCells })
+  }
 }
