@@ -56,16 +56,21 @@ object LanguageModel {
     * (no global sort materialized), and the only corpus-sized
     * exchange is the bigram-count groupBy on packed 8-byte keys. */
   def train(df: DataFrame, vocabSize: Int = 512,
-            textCol: String = "text"): BigramLm = {
+            textCol: String = "text"): BigramLm =
+    trainFromTokens(Dedup.spread(df).select(toks(col(textCol)).as("w")), vocabSize)
+
+  /** [[train]] over an already-tokenized single-column ("w") frame —
+    * lets [[lmScore]] tokenize the corpus once for train AND score. */
+  private def trainFromTokens(wDf: DataFrame, vocabSize: Int): BigramLm = {
     require(vocabSize >= 1, s"need vocabSize >= 1; got $vocabSize")
-    val w = df.select(toks(col(textCol)).as("w")).where(size(col("w")) > 0)
+    val w = wDf.where(size(col("w")) > 0)
     val vocab = w.select(explode(col("w")).as("t"))
       .groupBy("t").agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("t").asc)
       .limit(vocabSize)
       .collect().zipWithIndex.map { case (r, i) => r.getString(0) -> i }.toMap
     val v = vocab.size
-    val spark = df.sparkSession
+    val spark = wDf.sparkSession
     val bVocab = spark.sparkContext.broadcast(vocab)
     val vidPairs = udf { (ts: Seq[String]) =>
       if (ts == null || ts.length < 2) Array.empty[Long]
@@ -92,7 +97,13 @@ object LanguageModel {
     * probability, null when < 2 tokens). Narrow per-row pass — the
     * model rides a broadcast, no shuffle. */
   def score(df: DataFrame, lm: BigramLm, idCol: String = "doc_id",
-            textCol: String = "text"): DataFrame = {
+            textCol: String = "text"): DataFrame =
+    scoreFromTokens(Dedup.spread(df).select(col(idCol), toks(col(textCol)).as("w")),
+      lm, idCol)
+
+  /** [[score]] over an already-tokenized (id, "w") frame. */
+  private def scoreFromTokens(df: DataFrame, lm: BigramLm,
+                              idCol: String): DataFrame = {
     val spark = df.sparkSession
     val bLm = spark.sparkContext.broadcast(lm)
     val scoreUdf = udf { (ts: Seq[String]) =>
@@ -111,7 +122,7 @@ object LanguageModel {
       }
       (safe.length.toLong, nOov.toLong, math.max(0, safe.length - 1).toLong, sum)
     }
-    df.select(col(idCol), scoreUdf(toks(col(textCol))).as("s"))
+    df.select(col(idCol), scoreUdf(col("w")).as("s"))
       .select(
         col(idCol),
         col("s._1").as("n_tokens"),
@@ -125,8 +136,19 @@ object LanguageModel {
   }
 
   /** Train on `df` and score `df` with the resulting model (the usual
-    * corpus-self-scoring quality pass). */
+    * corpus-self-scoring quality pass). ONE persisted token frame feeds
+    * vocabulary counting, bigram counting, and scoring — the corpus
+    * tokenizes once, not three times (the same shared-cache shape as
+    * Curation.pipeline). */
   def lmScore(df: DataFrame, vocabSize: Int = 512,
-              idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    score(df, train(df, vocabSize, textCol), idCol, textCol)
+              idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tdf = Dedup.spread(df)
+      .select(col(idCol), toks(col(textCol)).as("w")).persist()
+    tdf.count()
+    val lm = trainFromTokens(tdf.select(col("w")), vocabSize)
+    val out = scoreFromTokens(tdf, lm, idCol).persist()
+    out.count() // materialize before dropping the token cache
+    tdf.unpersist()
+    out
+  }
 }
