@@ -849,6 +849,46 @@ object Gate {
              |AND user_id IN (SELECT user_id FROM events WHERE event_type = 'purchase')
              |ORDER BY user_id""".stripMargin)),
 
+    GateQuery("anti_join_users",
+      // the MUST_NOT join leg (ScoreMode.None negated): erroring users
+      // with no big purchase — left_anti on the distinct from-side key set
+      // (every sf0.01 user has every event_type, so the negated side is
+      // value-filtered to make the anti-join set non-empty: 23 rows)
+      (s, d) => {
+        val ev = events(s, d)
+        graft.score.Joins.antiJoin(
+            ev.filter(col("event_type") === "error").select("user_id").distinct(),
+            "user_id",
+            ev.filter(col("event_type") === "purchase" && col("value") > 90)
+              .select("user_id"),
+            "user_id")
+          .orderBy("user_id")
+      },
+      Some("""SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+             |AND user_id NOT IN (SELECT user_id FROM events
+             |                    WHERE event_type = 'purchase' AND value > 90)
+             |ORDER BY user_id""".stripMargin)),
+
+    GateQuery("stored_fetch",
+      // per-hit stored-field materialization (reference: searcher.doc(docId)
+      // per hit, Lucene.java:859): the winning k ids broadcast-join back to
+      // the corpus table and every stored field returns with the hit
+      (s, d) => {
+        val (idx, exec) = gate(s, d)
+        val top5 = exec.topK(parse("spark"), Nil, 5)
+        idx.corpus.join(broadcast(top5.select("docId", "score")), "docId")
+          .orderBy(col("score").desc, col("docId"))
+          .select(col("docId").as("doc_id"), round(col("score"), 4).as("score"),
+            col("conv_id"), col("role"), col("text"), col("tool"))
+      },
+      sql("""SELECT h.doc_id, round(h.tscore, 4) AS score,
+            |  CAST(doc.doc_id AS VARCHAR) AS conv_id, doc.lang AS role,
+            |  doc.text, doc.source AS tool
+            |FROM (SELECT doc_id, tscore FROM scores WHERE term = 'spark'
+            |      ORDER BY tscore DESC, doc_id LIMIT 5) h
+            |JOIN documents doc USING (doc_id)
+            |ORDER BY h.tscore DESC, h.doc_id""".stripMargin)),
+
     GateQuery("join_2hop",
       // two-hop semi-join chain (reference: InstrumentScientist →
       // InvestigationInstrument → Investigation, SearchBucket.java:602-614):
