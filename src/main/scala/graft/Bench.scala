@@ -274,6 +274,8 @@ object Bench {
     "q_regexp" -> "/need.e_[0-9]/")
 
   def main(args: Array[String]): Unit = {
+    val benchT0 = System.nanoTime()
+    def elapsedSecs: Double = (System.nanoTime() - benchT0) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     // 24000 convs ≈ 780k turns: large enough that the parallel sections
@@ -341,6 +343,24 @@ object Bench {
     // slow — only the documented diagnostics gates drop a pair).
     val pairBudget = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIRS", "12").toInt
     val minValid = sys.env.getOrElse("SPARK_GRAFT_BENCH_MIN_VALID", "2").toInt
+    // WALL-CLOCK budget for the pair hunts (round 5): the pair budget
+    // bounds COUNT, not TIME — on stormy weather a 2-core leg runs 3–6.5
+    // minutes, so 12 pairs could hold the bench open ~2 h while the
+    // harness that invokes it has only ever been observed to wait ~1 h
+    // (rounds 1–4 completed in 24–59 min) and NOTHING prints until the
+    // end: a killed run loses every window. The hunt stops launching new
+    // pairs once its elapsed budget is spent (≥2 pairs always run so the
+    // protocol's burn-in + ≥1 candidate exist). Early-stop on target-met
+    // is unchanged — quiet-weather runs still finish in ~2 pairs.
+    // Defaults leave headroom for the post-hunt sections: primary 30 min
+    // + alt 12 min + gates/latency ~8 min keeps the worst case near the
+    // longest completed driver run (59 min) instead of past it.
+    val timeBudgetSecs = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_TIME_BUDGET_SECS", "1800").toDouble
+    val altTimeBudgetSecs = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_ALT_TIME_BUDGET_SECS", "720").toDouble
+    val outPathStr = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "bench_local/full_bench.json")
     require(pairBudget >= 2,
       s"SPARK_GRAFT_BENCH_PAIRS=$pairBudget: at least 2 pairs are required " +
         "(pair 1 is burn-in and is never counted)")
@@ -458,11 +478,12 @@ object Bench {
       * better spent on the supplementary family). Returns turns built. */
     def hunt(lc: Int, hc: Int, budget: Int,
              into: scala.collection.mutable.ArrayBuffer[(Window, Window)],
-             label: String): Long = {
+             label: String, deadlineSecs: Double): Long = {
       var pairsRun = 0
       var turns = 0L
       var done = false
-      while (!done && pairsRun < budget) {
+      while (!done && pairsRun < budget &&
+             (pairsRun < 2 || elapsedSecs < deadlineSecs)) {
         val suffix = ('a' + pairsRun).toChar
         val (n, wLo) = buildAt(lc, numConvs, s"$tmp/$label$lc$suffix", warm = pairsRun == 0)
         val (_, wHi) = buildAt(hc, numConvs, s"$tmp/$label$hc$suffix", warm = pairsRun == 0)
@@ -496,10 +517,25 @@ object Bench {
         System.err.println(s"[bench] $label pair $pairsRun/$budget: " +
           s"${soFar.size} valid so far" +
           (if (soFar.nonEmpty) s", median raw ${"%.3f".format(median(soFar.map(_.raw)))}" else ""))
+        // persist a partial artifact after every pair: the final write at
+        // the end of main replaces it — if the invoking harness kills a
+        // long run mid-hunt, the windows measured so far survive on disk
+        try {
+          val p = java.nio.file.Paths.get(outPathStr)
+          Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+          java.nio.file.Files.writeString(p,
+            s"""{"in_progress":true,"family":"$label","cores_lo":$lc,"cores_hi":$hc,""" +
+              s""""pairs_run":$pairsRun,"valid_so_far":${soFar.size},""" +
+              s""""elapsed_secs":${"%.1f".format(elapsedSecs)},""" +
+              s""""windows":[${into.toSeq.flatMap(b => Seq(b._1, b._2)).map(_.json).mkString(",")}]}\n""")
+        } catch { case _: Exception => () }
       }
+      if (!done && pairsRun < budget)
+        System.err.println(s"[bench] $label: time budget exhausted after " +
+          s"$pairsRun pairs (${"%.0f".format(elapsedSecs)}s elapsed)")
       turns
     }
-    turnsLo = hunt(loCores, hiCores, pairBudget, builds, "idx")
+    turnsLo = hunt(loCores, hiCores, pairBudget, builds, "idx", timeBudgetSecs)
     val allPairs = builds.toSeq.map { case (l, h) => Pair(l, h) }
     val candidates = allPairs.drop(1) // pair 1 = burn-in
     val valid = validOf(candidates, allPairs)
@@ -551,7 +587,8 @@ object Bench {
       else {
         val altBuilds = scala.collection.mutable.ArrayBuffer.empty[(Window, Window)]
         val altBudget = sys.env.getOrElse("SPARK_GRAFT_BENCH_ALT_PAIRS", "3").toInt
-        val t = hunt(altLo, altHi, altBudget, altBuilds, "alt")
+        val t = hunt(altLo, altHi, altBudget, altBuilds, "alt",
+          elapsedSecs + altTimeBudgetSecs)
         val ps = altBuilds.toSeq.map { case (l, h) => Pair(l, h) }
         val cand = ps.drop(1)
         val v = validOf(cand, ps)
@@ -763,8 +800,7 @@ object Bench {
     // before (r3 lost the per-query map; r3+r4 "parsed": null) — persist
     // the FULL artifact to a committed file as the durable record
     try {
-      val outPath = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_local/full_bench.json"))
+      val outPath = java.nio.file.Paths.get(outPathStr)
       Option(outPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
       java.nio.file.Files.writeString(outPath, json + "\n")
     } catch { case e: Exception =>
@@ -781,7 +817,7 @@ object Bench {
         scalingJson(withWindows = false) + altJson(withWindows = false) + "," +
         s""""ann_lsh_index_bytes":$annIndexBytes,""" +
         s""""latency":{"p50":${"%.3f".format(pct(0.5))},"p95":${"%.3f".format(pct(0.95))}},""" +
-        s""""full_artifact":"${sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_local/full_bench.json")}"}"""
+        s""""full_artifact":"$outPathStr"}"""
     println(jsonCompact)
     spark.stop()
     // reclaim the (possibly tmpfs) scratch space
