@@ -626,6 +626,30 @@ object PipelineGate {
              |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS BIGINT) AS ws_tokens
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // per-source token-budget report: exact discrete percentiles from
+    // the (src, n) histogram plan; positions are integer ((p·cnt+99)
+    // div 100) on BOTH sides — a floating ceil(0.9*cnt) would round
+    // differently in Spark (IEEE double) and DuckDB (DECIMAL literal)
+    GateQuery("token_budget",
+      (s, d) => TextAnalysis.tokenBudget(docs(s, d)),
+      Some("""WITH t AS (
+             |  SELECT source AS src,
+             |    coalesce(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')), 0) AS n
+             |  FROM documents WHERE source IS NOT NULL
+             |), hist AS (
+             |  SELECT src, n, count(*) AS c FROM t GROUP BY 1, 2
+             |), cum AS (
+             |  SELECT src, n, c,
+             |    sum(c) OVER (PARTITION BY src ORDER BY n) AS cum,
+             |    sum(c) OVER (PARTITION BY src) AS cnt
+             |  FROM hist)
+             |SELECT src AS source, CAST(sum(c) AS BIGINT) AS docs,
+             |  CAST(sum(n * c) AS BIGINT) AS total_tokens,
+             |  min(CASE WHEN cum >= (50 * cnt + 99) // 100 THEN n END) AS p50_tokens,
+             |  min(CASE WHEN cum >= (90 * cnt + 99) // 100 THEN n END) AS p90_tokens,
+             |  min(CASE WHEN cum >= (99 * cnt + 99) // 100 THEN n END) AS p99_tokens
+             |FROM cum GROUP BY src ORDER BY source""".stripMargin)),
+
     GateQuery("fingerprint",
       // FNV-1a64 over the space-joined normalized tokens; DuckDB replays
       // the 64-bit wraparound arithmetic via HUGEINT mod 2^64

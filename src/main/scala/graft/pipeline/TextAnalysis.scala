@@ -414,4 +414,50 @@ object TextAnalysis {
     keyed.unpersist()
     res
   }
+
+  /** Per-source token-budget report — the corpus-accounting view a
+    * training-data pipeline plans its mixing weights from: doc count,
+    * total tokens, and EXACT discrete token-count percentiles (the
+    * value at 1-indexed position ⌈p·cnt/100⌉ of the ascending
+    * per-source ordering — "lower" discrete quantile, no
+    * interpolation).
+    *
+    * Scale shape (100 TB): a naive per-source ranking window would put
+    * an ENTIRE source on one task (sources are an enum — billions of
+    * rows per partition key), so the percentiles come from a two-pass
+    * histogram plan instead: (src, n_tokens) → count — the ONE
+    * corpus-sized exchange, 16-byte keys, map-side combinable, at most
+    * |sources|·max_doc_tokens rows out — then a per-source cumulative
+    * window over that tiny histogram. Percentile POSITIONS are exact
+    * integer arithmetic ((p·cnt + 99) div 100), never floating ceil:
+    * IEEE `0.9*cnt` and DuckDB's DECIMAL `0.9*cnt` round differently
+    * at exact-multiple boundaries, so float positions cannot replay
+    * across engines. Null sources are excluded (mirroring
+    * [[Curation.sourceOverlap]]); a null/empty text counts 0 tokens. */
+  def tokenBudget(df: DataFrame, percents: Seq[Int] = Seq(50, 90, 99),
+                  srcCol: String = "source", textCol: String = "text"): DataFrame = {
+    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
+      s"need percents within 1..100; got $percents")
+    require(percents.distinct.length == percents.length,
+      s"duplicate percents: $percents")
+    import org.apache.spark.sql.expressions.Window
+    val hist = df.where(col(srcCol).isNotNull)
+      .select(col(srcCol).cast("string").as("src"),
+        coalesce(size(toks(col(textCol))), lit(0)).cast("long").as("n"))
+      .groupBy("src", "n").agg(count(lit(1)).as("c"))
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy("src").orderBy("n")))
+      .withColumn("cnt", sum(col("c")).over(Window.partitionBy("src")))
+    val aggs = Seq(
+      sum(col("c")).as("docs"),
+      sum(col("n") * col("c")).as("total_tokens")) ++
+      percents.map { p =>
+        min(when(col("cum") >= expr(s"($p * cnt + 99) div 100"), col("n")))
+          .as(s"p${p}_tokens")
+      }
+    cum.groupBy(col("src").as(srcCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(srcCol)
+  }
 }

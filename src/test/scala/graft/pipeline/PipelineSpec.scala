@@ -588,4 +588,40 @@ class PipelineSpec extends SparkSuite {
     val nCells = math.ceil(vecs.size / 16.0).toInt
     assert(out.forall { case (_, c, _) => c >= 0 && c < nCells })
   }
+
+  test("tokenBudget: exact discrete percentiles, null source/text edges") {
+    import spark.implicits._
+    val corpus = Seq(
+      // source A: token counts [0(null text), 1, 2, 3, 10]
+      (1L, "A", "alpha"),
+      (2L, "A", "alpha beta"),
+      (3L, "A", "alpha beta gamma"),
+      (4L, "A", "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"),
+      (5L, "A", null),
+      // source B: a single 5-token doc
+      (6L, "B", "one two three four five"),
+      // source C: all-ties [2, 2, 2]
+      (7L, "C", "x y"), (8L, "C", "p q"), (9L, "C", "m n"),
+      // null source: excluded entirely
+      (10L, null, "should not appear")
+    ).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.tokenBudget(corpus).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    // A: cnt=5 → p50 pos ⌈2.5⌉=3 → sorted [0,1,2,3,10](3)=2; p90 pos 5 → 10
+    // B: every percentile is the single value
+    // C: ties collapse to one histogram row; all percentiles = 2
+    assert(out.toMap === Map(
+      "A" -> ((5L, 16L, 2L, 10L, 10L)),
+      "B" -> ((1L, 5L, 5L, 5L, 5L)),
+      "C" -> ((3L, 6L, 2L, 2L, 2L))))
+    // rows come back ordered by source
+    assert(out.map(_._1).toSeq === Seq("A", "B", "C"))
+    // custom percents surface with their own labels, p100 = max
+    val p = TextAnalysis.tokenBudget(corpus, percents = Seq(10, 100))
+    assert(p.columns.toSeq ===
+      Seq("source", "docs", "total_tokens", "p10_tokens", "p100_tokens"))
+    val a = p.filter(col("source") === "A").head()
+    assert(a.getLong(3) === 0L && a.getLong(4) === 10L)
+  }
 }
