@@ -951,6 +951,36 @@ object PipelineGate {
               |  WHEN 'de' THEN 0.1 ELSE 0.05 END * 1000000 AS BIGINT)
               |ORDER BY doc_id""".stripMargin)),
 
+    // mix-to-token-budget sampling: deterministic FNV-ordered greedy
+    // fill per source (keep while the tokens BEFORE the doc < budget);
+    // the oracle replays the unsigned FNV fold, maps it to Spark's
+    // SIGNED long order, and applies the same per-source window rule —
+    // certifying the engine's two-phase distributed prefix sum
+    GateQuery("token_mix",
+      (s, d) => graft.pipeline.Curation.mixToBudget(docs(s, d),
+        Map("src0" -> 700L, "src1" -> 400L, "src7" -> 1000000L))
+        .orderBy("doc_id"),
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, source AS src,
+              |    coalesce(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')), 0) AS n,
+              |    ${fnvSql("('mix-42-' || doc_id)")} AS hu
+              |  FROM documents WHERE source IN ('src0', 'src1', 'src7')
+              |), sg AS (
+              |  SELECT doc_id, src, n,
+              |    CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT
+              |         THEN hu - 18446744073709551616::HUGEINT ELSE hu END AS BIGINT) AS h
+              |  FROM t
+              |), r AS (
+              |  SELECT doc_id, src, n,
+              |    sum(n) OVER (PARTITION BY src ORDER BY h, doc_id) AS cum
+              |  FROM sg)
+              |SELECT doc_id, src AS source, CAST(n AS BIGINT) AS n_tokens,
+              |  CAST(cum AS BIGINT) AS cum_tokens
+              |FROM r
+              |WHERE cum - n < CASE src WHEN 'src0' THEN 700 WHEN 'src1' THEN 400
+              |  ELSE 1000000 END
+              |ORDER BY doc_id""".stripMargin)),
+
     // End-to-end curation composition (round 4): quality filter →
     // near-dup dedup (pair → cluster → apply) → stratified sample, all
     // chained lazily through the engine's operators; the oracle replays

@@ -417,4 +417,71 @@ object Curation {
     mc.unpersist()
     out
   }
+
+  // ---------------------------------------------------------------- token-budget mixing
+
+  /** Mix-to-token-budget sampling — the other half of corpus mixing:
+    * where [[stratifiedSample]] keeps a RATE of each stratum,
+    * `mixToBudget` keeps an absolute TOKEN amount per source ("200 B
+    * tokens of web, 40 B of code, all of curated"). Docs of each
+    * budgeted source are taken in deterministic pseudo-random order
+    * (FNV-1a64("mix-&lt;seed&gt;-&lt;id&gt;"), ties → id) until the budget fills:
+    * a doc is kept iff the tokens of the docs BEFORE it in that order
+    * are &lt; budget — so the selection overshoots by at most one doc,
+    * never undershoots while the source has tokens, and the kept set
+    * is a strict prefix: rerunning with a BIGGER budget only ADDS
+    * docs, never swaps them (the property epoch-over-epoch mixing
+    * needs). Sources absent from `budgets` are dropped. Returns
+    * (idCol, srcCol, n_tokens, cum_tokens), cum_tokens inclusive.
+    *
+    * Scale shape: a per-source cumsum window would put a whole source
+    * (billions of rows — sources are an enum) on one task, so the
+    * cumulative sums come from the same two-phase distributed prefix
+    * sum as `packSequences`/`trainingOrder`, generalized per key:
+    * range-exchange the 32-byte (src, h, id, n) projection on
+    * (src, h, id), one local per-(partition, src) window cumsum, then
+    * a driver prefix-sum over the |partitions|×|sources| subtotal
+    * matrix broadcast back as bases. The kept set is partitioning-
+    * independent (any contiguous range boundaries recombine to the
+    * same global per-source order). */
+  def mixToBudget(df: DataFrame, budgets: Map[String, Long], seed: Long = 42L,
+                  srcCol: String = "source", textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    require(budgets.nonEmpty && budgets.values.forall(_ >= 0L),
+      s"need non-negative budgets for at least one source; got $budgets")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val keyed = df
+      .where(col(srcCol).isin(budgets.keys.toSeq: _*))
+      .select(col(srcCol).cast("string").as("src"), col(idCol).as("id"),
+        coalesce(size(TextAnalysis.simpleToks(col(textCol))), lit(0)).cast("long").as("n"))
+      .withColumn("h", Dedup.fnv1a64Udf(
+        concat(lit(s"mix-$seed-"), col("id").cast("string"))))
+      .repartitionByRange(col("src"), col("h"), col("id"))
+      .withColumn("pid", spark_partition_id())
+      .withColumn("lcum", sum(col("n")).over(
+        Window.partitionBy("pid", "src").orderBy(col("h"), col("id"))))
+      .persist()
+    keyed.count()
+    val subs = keyed.groupBy("pid", "src").agg(sum(col("n")).as("t"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val bases = subs.groupBy(_._2).toSeq.flatMap { case (src, rows) =>
+      val sorted = rows.sortBy(_._1)
+      sorted.map(_._1).zip(sorted.scanLeft(0L)(_ + _._3).init)
+        .map { case (pid, base) => (pid, src, base) }
+    }
+    val basesDf = spark.createDataFrame(bases).toDF("pid", "src", "base")
+    val budgetCol = budgets.foldLeft(lit(-1L)) { case (acc, (k, v)) =>
+      when(col("src") === k, lit(v)).otherwise(acc)
+    }
+    val res = keyed.join(broadcast(basesDf), Seq("pid", "src"))
+      .withColumn("cum", col("base") + col("lcum"))
+      .where(col("cum") - col("n") < budgetCol)
+      .select(col("id").as(idCol), col("src").as(srcCol),
+        col("n").as("n_tokens"), col("cum").as("cum_tokens"))
+      .persist()
+    res.count() // materialize before dropping the ranked cache
+    keyed.unpersist()
+    res
+  }
 }

@@ -61,7 +61,9 @@ class GateSpec extends SparkSuite {
           // lm_score oracle CTEs
           "unic", "voc", "nv", "vids", "big", "pos", "agg", "oo",
           // semdedup oracle CTEs
-          "ev", "dropped") --
+          "ev", "dropped",
+          // token_budget / token_mix oracle CTEs
+          "hist", "cum", "sg") --
         // iteration CTEs: a<j>, c<j>, pii chain s<j>
         froms.filter(f => "^[acs]\\d*$".r.matches(f))
       assert(unknown.isEmpty, s"oracle references unknown tables: $unknown")

@@ -171,4 +171,33 @@ class CurationSpec extends SparkSuite {
     assert(!m.queryExecution.executedPlan.toString.contains("Exchange"))
     assert(m.count() === docs.count())
   }
+
+  test("mixToBudget: FNV-ordered greedy fill matches a driver replay; prefix property") {
+    val out = Curation.mixToBudget(docs,
+      Map("src0" -> 300L, "src1" -> 0L, "src2" -> Long.MaxValue))
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // driver-side replay: same hash, same order, same fill rule
+    val base = docs.filter(col("source").isin("src0", "src1", "src2"))
+      .select(col("doc_id"), col("source"),
+        coalesce(size(TextAnalysis.simpleToks(col("text"))), lit(0)).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = base.groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+      val budget = Map("src0" -> 300L, "src1" -> 0L, "src2" -> Long.MaxValue)(src)
+      val ordered = ds.sortBy(d => (Dedup.fnv1a64(s"mix-42-${d._1}"), d._1))
+      ordered.scanLeft(0L)(_ + _._3).init.zip(ordered)
+        .collect { case (before, (id, s, n)) if before < budget =>
+          (id, s, n, before + n) }
+    }.toSet
+    assert(rows.toSet === expected)
+    assert(!rows.exists(_._2 == "src1")) // zero budget → nothing kept
+    // src2 unbounded → the whole source survives
+    assert(rows.count(_._2 == "src2") === base.count(_._2 == "src2"))
+    // prefix property: a bigger budget only ADDS docs
+    val bigger = Curation.mixToBudget(docs, Map("src0" -> 600L))
+      .collect().map(_.getLong(0)).toSet
+    val smaller = rows.filter(_._2 == "src0").map(_._1).toSet
+    assert(smaller.subsetOf(bigger))
+    out.unpersist()
+  }
 }
