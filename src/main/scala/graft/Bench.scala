@@ -293,15 +293,28 @@ object Bench {
     // BOTH windows in the bandwidth-unsaturated regime (and runs the
     // IDENTICAL task layout — 16/25 tasks — at both sizes), so it
     // measures the PLAN's N→4N scaling, which is what the north rule
-    // asks. The saturated 8→32 family is still run and reported every
-    // time (scaling_alt) for round-over-round comparability.
+    // asks. The other family is still run and reported every time
+    // (scaling_alt) for round-over-round comparability.
+    //
+    // End-of-round-5 default flip back to 8→32: late-round measurements
+    // (BASELINE.md "end-of-round weather record") found the host's
+    // 2-core baseline had become unmeasurable — quiet-window 2-core
+    // legs drew 224–239 s against earlier 179–194 s while EVERY
+    // instrument (per-core ALU, allocation probe, steal, delivery)
+    // read equal-or-better, so the 2→8 ratio itself read 4.8–5.2×,
+    // i.e. above the 1.05 physical cap, on every draw. A family whose
+    // baseline cannot be measured can only produce tier-2 artifacts;
+    // 8→32 currently yields physically-sane readings (0.52–0.99
+    // gated), so it is primary again and 2→8 is the recorded alt.
+    // The tier-0 2→8 artifact from the clean era stands in
+    // bench_local/full_r5b.json.
     val Array(loCores, hiCores) = sys.env.getOrElse(
-      "SPARK_GRAFT_BENCH_CORES", "2,8").split(",").map(_.trim.toInt)
+      "SPARK_GRAFT_BENCH_CORES", "8,32").split(",").map(_.trim.toInt)
     require(hiCores == 4 * loCores,
       s"scaling pair must be N,4N — got $loCores,$hiCores")
-    // the always-run reference family (historical primary)
+    // the always-run reference family
     val Array(altLo, altHi) = sys.env.getOrElse(
-      "SPARK_GRAFT_BENCH_ALT_CORES", "8,32").split(",").map(_.trim.toInt)
+      "SPARK_GRAFT_BENCH_ALT_CORES", "2,8").split(",").map(_.trim.toInt)
     require(altHi == 4 * altLo,
       s"alt scaling pair must be N,4N — got $altLo,$altHi")
     val tmp = scratch
@@ -784,7 +797,7 @@ object Bench {
           s""""surviving_pair_efficiencies_raw":[${a.surv.map(p => "%.3f".format(p.raw)).mkString(",")}],""" +
           s""""pairs_total":${a.cand.size},"pairs_discarded":${a.cand.size - a.surv.size},"burnin_pairs":1,""" +
           s""""fallback_tier":${a.tier},""" +
-          s""""why":"reference family (rounds 1-4 primary), always recorded: it crosses this host's single-box DRAM-saturation boundary (>=~16 allocating cores inflate per-thread CPU 1.18-1.25x, measured via executorCpuTime at matched clean windows, while 2->8 core-seconds stay flat) - a host artifact a real N->4N executor scale-out does not have, since each executor host brings its own memory bus; the primary $loCores->$hiCores family keeps both windows bandwidth-unsaturated with an identical task layout and measures the plan"""" +
+          s""""why":"reference family ($altLo->$altHi), always recorded alongside the primary $loCores->$hiCores for round-over-round comparability; family trade-offs on this host: >=~16 allocating cores cross the single shared memory bus's saturation boundary (per-thread CPU inflates 1.18-1.25x, measured via executorCpuTime at matched clean windows) - an artifact a real N->4N executor scale-out does not have - while the 2-core baseline became unmeasurable in the late-round weather (clean-instrument 2-core legs drifted +25%, pushing 2->8 ratios past the 1.05 physical cap; see BASELINE.md end-of-round weather record)"""" +
           (if (withWindows)
              s""","windows":[${a.all.flatMap(p => Seq(p.lo, p.hi)).map(_.json).mkString(",")}]}"""
            else "}")
