@@ -24,12 +24,17 @@ object PorterStemmer {
     if (word.length <= 2) return word
     val s = new State(word.toCharArray)
     s.run()
-    new String(s.b, 0, s.k + 1)
+    // unchanged fast path: most tokens take no suffix rule at all, so
+    // skip the result-String allocation when neither the length nor any
+    // character changed (`dirty` covers every in-place char write)
+    if (s.k == word.length - 1 && !s.dirty) word
+    else new String(s.b, 0, s.k + 1)
   }
 
   private final class State(val b: Array[Char]) {
     var k: Int = b.length - 1 // index of last char
     var j: Int = 0            // general offset set by ends()
+    var dirty: Boolean = false // any in-place char write happened
 
     private def cons(i: Int): Boolean = b(i) match {
       case 'a' | 'e' | 'i' | 'o' | 'u' => false
@@ -88,6 +93,7 @@ object PorterStemmer {
       var i = 0
       while (i < l) { b(j + 1 + i) = s.charAt(i); i += 1 }
       k = j + l
+      if (l > 0) dirty = true
     }
 
     private def r(s: String): Unit = if (m() > 0) setTo(s)
@@ -115,7 +121,7 @@ object PorterStemmer {
 
     /** terminal y → i when there is another vowel in the stem */
     private def step2(): Unit =
-      if (ends("y") && vowelInStem()) b(k) = 'i'
+      if (ends("y") && vowelInStem()) { b(k) = 'i'; dirty = true }
 
     /** double suffixes → single, e.g. -ization → -ize */
     private def step3(): Unit = {

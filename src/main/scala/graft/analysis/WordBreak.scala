@@ -40,7 +40,11 @@ object WordBreak {
   /** Tokenize `text` into UAX#29-lite word tokens (original case kept). */
   def tokenize(text: String): Array[String] = {
     if (text == null || text.isEmpty) return Array.empty
-    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    // presized: one token per ~6 chars is the corpus mean, so the buffer
+    // usually never regrows (it defaults to 16 slots and doubled several
+    // times per 400-token document)
+    val out = new scala.collection.mutable.ArrayBuffer[String](
+      math.max(8, text.length / 6))
     val n = text.length
     var i = 0
     while (i < n) {

@@ -34,6 +34,15 @@ object TranscriptGen {
     cdf
   }
 
+  // the 5000 Zipf vocabulary strings, built once per JVM: formatting
+  // f"w$lo%04d" per drawn word dominated generation CPU (measured ~0.9
+  // µs/word at 32 cores — the generator runs untimed inside every bench
+  // build subprocess, so its wall-clock still delays the run)
+  private lazy val zipfWords: Array[String] =
+    Array.tabulate(commonVocabSize)(i => f"w$i%04d")
+  private val needles: Array[String] =
+    Array.tabulate(10)(i => s"needle_$i")
+
   private val elements = Array(
     "hydrogen", "helium", "lithium", "beryllium", "boron", "carbon",
     "nitrogen", "oxygen", "fluorine", "neon", "sodium", "magnesium",
@@ -62,7 +71,7 @@ object TranscriptGen {
       val mid = (lo + hi) >>> 1
       if (zipfCdf(mid) < u) lo = mid + 1 else hi = mid
     }
-    f"w$lo%04d"
+    zipfWords(lo)
   }
 
   /** Generate every turn of one conversation, deterministically. */
@@ -81,14 +90,14 @@ object TranscriptGen {
       val tool = if (role == "tool") Some(tools(r.nextInt(tools.length))) else None
       // doc length 20..400 tokens, with a heavy tail of short and long docs
       val len = 20 + r.nextInt(381)
-      val sb = new StringBuilder
+      val sb = new StringBuilder(len * 8) // ≤7-char words + separators
       var i = 0
       while (i < len) {
         val u = r.nextDouble()
         val w =
           if (u < 0.90) zipfWord(r)
           else if (u < 0.99) rareVocab(r.nextInt(rareVocab.length))
-          else s"needle_${r.nextInt(10)}"
+          else needles(r.nextInt(10))
         if (i > 0) sb.append(' ')
         sb.append(w)
         i += 1
