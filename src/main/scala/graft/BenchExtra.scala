@@ -93,6 +93,64 @@ object BenchExtra {
           }
         spark.stop()
 
+      case "jobs" =>
+        // per-Spark-job decomposition of ONE gate query's warm run:
+        // job wall + gaps (driver-serial time) — where a 0.5-3 s gate
+        // query actually spends its time at local[32]
+        val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+        val names = args.drop(2).toSeq
+        val spark = session(cpus)
+        Seq("ann_lsh", "bm25_term", "bm25_wand").foreach { n =>
+          try { SparkEntry.queries(n)(spark, sfDir).count(); () }
+          catch { case _: Throwable => () }
+        }
+        final class L extends org.apache.spark.scheduler.SparkListener {
+          case class J(id: Int, start: Long, var end: Long, var tasks: Int,
+                       var taskMs: Long, var names: List[String] = Nil)
+          val jobs = new scala.collection.mutable.ArrayBuffer[J]
+          private val byId = new scala.collection.mutable.HashMap[Int, J]
+          private val stageToJob = new scala.collection.mutable.HashMap[Int, J]
+          override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            synchronized {
+              val j = J(e.jobId, e.time, e.time, 0, 0L)
+              jobs += j; byId(e.jobId) = j; e.stageIds.foreach(stageToJob(_) = j)
+            }
+          override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+            synchronized { byId.get(e.jobId).foreach(_.end = e.time) }
+          override def onStageCompleted(
+              e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+            synchronized {
+              stageToJob.get(e.stageInfo.stageId).foreach { j =>
+                j.tasks += e.stageInfo.numTasks
+                j.taskMs += e.stageInfo.taskMetrics.executorRunTime
+                j.names = (e.stageInfo.name.take(60) +
+                  f" [${e.stageInfo.taskMetrics.executorRunTime / 1000.0}%.2fs]") :: j.names
+              }
+            }
+        }
+        names.foreach { name =>
+          SparkEntry.queries(name)(spark, sfDir).count() // warm
+          val l = new L
+          spark.sparkContext.addSparkListener(l)
+          val (_, secs) = time(SparkEntry.queries(name)(spark, sfDir).count())
+          Thread.sleep(300) // let listener events drain
+          spark.sparkContext.removeSparkListener(l)
+          var prevEnd = 0L
+          var jobWall = 0.0
+          l.jobs.sortBy(_.start).foreach { j =>
+            val gap = if (prevEnd == 0) 0.0 else (j.start - prevEnd) / 1000.0
+            val wall = (j.end - j.start) / 1000.0
+            jobWall += wall
+            println(f"JOB $name job=${j.id}%4d gap=$gap%6.3f wall=$wall%7.3f " +
+              f"taskSum=${j.taskMs / 1000.0}%8.3f tasks=${j.tasks}%4d " +
+              j.names.reverse.mkString(" | "))
+            prevEnd = math.max(prevEnd, j.end)
+          }
+          println(f"JOBS $name total=$secs%.3f nJobs=${l.jobs.size} " +
+            f"jobWall=$jobWall%.3f gaps=${secs - jobWall}%.3f")
+        }
+        spark.stop()
+
       case "gen" =>
         val numConvs = args.lift(1).map(_.toLong).getOrElse(24000L)
         val spark = session(cpus)

@@ -312,6 +312,12 @@ object IndexBuilder {
     val postings = written.filter(col("term").isNotNull)
     postings.groupBy(col("term"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+      // sorted within each written file so query-time per-term lookups
+      // (weightsFrame / phraseMatches / WAND idf collects — each a
+      // pushed-down isin scan) prune to ~one row group per file via
+      // parquet min/max stats instead of decoding the whole dictionary;
+      // no extra exchange — the groupBy's own partitioning is kept
+      .sortWithinPartitions("term")
       .write.mode("overwrite").parquet(s"$dir/termstats")
     prof("termstats_written")
     // docCount needs only the corpus row count (cached by DocIds.assign)
@@ -350,7 +356,8 @@ object IndexBuilder {
     // stored fields: when the corpus already lives in a source table the
     // rewrite is optional (Lucene must store fields; we have the table)
     if (writeCorpus) index.corpus.write.mode("overwrite").parquet(s"$dir/corpus")
-    index.termStats.write.mode("overwrite").parquet(s"$dir/termstats")
+    index.termStats.sortWithinPartitions("term") // row-group-pruned lookups
+      .write.mode("overwrite").parquet(s"$dir/termstats")
 
     val hotTerms = index.termStats
       .filter(col("df") >= hotDfThreshold)

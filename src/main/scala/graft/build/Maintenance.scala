@@ -21,14 +21,15 @@ object Maintenance {
   /** Delete documents by id across all index tables (reference:
     * LongPoint exact-query delete, Lucene.java:301-317 — here an
     * anti-join, with stats recomputed from the surviving postings). */
-  def deleteDocs(index: Index, docIds: Seq[Long]): Index = {
+  def deleteDocs(index: Index, docIds: Seq[Long],
+                 unpersistOld: Boolean = true): Index = {
     val spark = index.corpus.sparkSession
     import spark.implicits._
     val ids = docIds.toDF("docId")
     val corpus = index.corpus.join(broadcast(ids), Seq("docId"), "left_anti")
     val postings = index.postings.join(broadcast(ids), Seq("docId"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    rebuild(index, corpus, postings)
+    rebuild(index, corpus, postings, unpersistOld)
   }
 
   /** Create (append) new turns: analyze and append their postings.
@@ -38,7 +39,8 @@ object Maintenance {
     * insertion order, exactly like the reference's upstream-assigned ids);
     * a compaction that re-runs DocIds.assign over the merged corpus
     * restores the global invariant. */
-  def addTurns(index: Index, turns: Dataset[Turn], analyzer: TextAnalyzer): Index = {
+  def addTurns(index: Index, turns: Dataset[Turn], analyzer: TextAnalyzer,
+               unpersistOld: Boolean = true): Index = {
     val base = index.corpus.agg(coalesce(max(col("docId")), lit(-1L))).collect()(0).getLong(0)
     val newCorpus = graft.corpus.DocIds.forTurns(turns)
       .withColumn("docId", col("docId") + lit(base + 1))
@@ -47,7 +49,7 @@ object Maintenance {
     val corpus = index.corpus.unionByName(newCorpus)
     val postings = index.postings.unionByName(delta.postings)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val out = rebuild(index, corpus, postings)
+    val out = rebuild(index, corpus, postings, unpersistOld)
     // the merged postings cache is materialized by rebuild's stats action;
     // the delta's own caches are now redundant intermediates
     delta.unpersistAll(includeCorpus = false)
@@ -114,7 +116,14 @@ object Maintenance {
         sum(length(col("text"))).cast("long").as("total_chars"),
         max(col("ts")).as("last_ts"))
 
-  private def rebuild(old: Index, corpus: DataFrame, postings: DataFrame): Index = {
+  /** `unpersistOld = false` keeps the predecessor's caches alive — for
+    * callers mutating a long-lived STANDING index (a serving deployment's
+    * modify(), the gate's cached base index) where the original bundle
+    * keeps serving queries after the mutation; the caller then owns both
+    * generations' caches. Default true: a mutation CHAIN supersedes its
+    * predecessor (original cache-hygiene semantics). */
+  private def rebuild(old: Index, corpus: DataFrame, postings: DataFrame,
+                      unpersistOld: Boolean = true): Index = {
     val termStats = postings.groupBy(col("term"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -127,8 +136,10 @@ object Maintenance {
     // of N updates pins N index generations in executor storage. The old
     // bundle stays queryable (its tables recompute from lineage), just
     // uncached; its corpus is owned by DocIds/the caller and untouched.
-    old.postings.unpersist()
-    old.termStats.unpersist()
+    if (unpersistOld) {
+      old.postings.unpersist()
+      old.termStats.unpersist()
+    }
     val stats =
       if (row.isNullAt(0) || row.isNullAt(1)) CorpusStats(0L, 0L)
       else CorpusStats(row.getLong(0), row.getLong(1))

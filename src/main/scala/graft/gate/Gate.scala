@@ -52,6 +52,22 @@ object Gate {
   private val segCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   private val GateSegSize = 256
 
+  /** Standing non-positional Simple index the maintenance gates mutate —
+    * built once per sf dir, like [[gate]]'s query index: the reference's
+    * /modify surface operates on a standing committed index, so the
+    * maintenance queries time the mutation + rescore, not a from-scratch
+    * rebuild of the pre-mutation index. Mutations run with
+    * `unpersistOld = false` so the standing bundle's caches survive for
+    * the next maintenance call. */
+  private val maintCache = scala.collection.concurrent.TrieMap.empty[String, Index]
+
+  private def maintBase(spark: SparkSession, sfDir: String): Index =
+    maintCache.getOrElseUpdate(sfDir, {
+      val (shared, _) = gate(spark, sfDir)
+      // build() materializes the postings cache via its stats aggregate
+      IndexBuilder.build(shared.corpus, Analyzers.Simple)
+    })
+
   /** Cache-ownership hook (round 4): drop every persisted frame this
     * object minted for `sfDir` — index tables, packed segments — so a
     * long-lived process importing Gate does not accumulate pinned
@@ -59,6 +75,7 @@ object Gate {
     * next gate() call rebuilds from the parquet source. */
   def evict(sfDir: String): Unit = {
     segCache.remove(sfDir).foreach(_.unpersist())
+    maintCache.remove(sfDir).foreach(_.unpersistAll(includeCorpus = false))
     indexCache.remove(sfDir).foreach { case (idx, _) =>
       idx.unpersistAll(includeCorpus = true)
     }
@@ -453,11 +470,11 @@ object Gate {
       // the whole pipeline over the filtered document set
       (s, d) => {
         import s.implicits._
-        val (shared, _) = gate(s, d)
-        val idx = IndexBuilder.build(shared.corpus, Analyzers.Simple)
-        val delIds = shared.corpus.filter(col("tool") === "src0")
+        val idx = maintBase(s, d)
+        val delIds = idx.corpus.filter(col("tool") === "src0")
           .select("docId").as[Long].collect().toSeq
-        val after = graft.build.Maintenance.deleteDocs(idx, delIds)
+        val after = graft.build.Maintenance.deleteDocs(idx, delIds,
+          unpersistOld = false)
         val out = new QueryExec(after, exact = true).topK(TermQuery("spark"), Nil, 20)
           .select(col("docId").as("doc_id"), round(col("score"), 4).as("score"))
         val rows = out.collect().toSeq
@@ -476,12 +493,12 @@ object Gate {
       // re-scored — the added docs change df/avgdl AND enter the top-k
       (s, d) => {
         import s.implicits._
-        val (shared, _) = gate(s, d)
-        val idx = IndexBuilder.build(shared.corpus, Analyzers.Simple)
+        val idx = maintBase(s, d)
         val newTurns = (0 until 5).map(i => graft.model.Turn(f"zz-conv-$i%02d", 0,
           "xx", "spark table spark merge", None,
           new java.sql.Timestamp(1767225600000L))).toDS()
-        val after = graft.build.Maintenance.addTurns(idx, newTurns, Analyzers.Simple)
+        val after = graft.build.Maintenance.addTurns(idx, newTurns, Analyzers.Simple,
+          unpersistOld = false)
         val out = new QueryExec(after, exact = true).topK(TermQuery("spark"), Nil, 20)
           .select(col("docId").as("doc_id"), round(col("score"), 4).as("score"))
         val rows = out.collect().toSeq

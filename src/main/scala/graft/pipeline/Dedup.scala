@@ -637,9 +637,14 @@ object Dedup {
     // collect, like every other driver-side read in this engine) run
     // union-find on the driver in one pass; identical output (component =
     // min reachable id). Near-dup graphs above the cap take the
-    // distributed pointer-jumping loop unchanged.
-    val nEdges = edges.count()
-    if (driverEdgeCap >= 0 && nEdges <= driverEdgeCap) {
+    // distributed pointer-jumping loop unchanged. ONE bounded take(cap+1)
+    // both sizes the graph and fetches it (the previous count()+collect()
+    // pair cost a second serial job for the same rows).
+    val capFits = driverEdgeCap >= 0 && driverEdgeCap < Int.MaxValue - 1
+    val taken =
+      if (capFits) edges.take(driverEdgeCap.toInt + 1)
+      else Array.empty[org.apache.spark.sql.Row]
+    if (capFits && taken.length <= driverEdgeCap) {
       val spark = pairs.sparkSession
       val parent = new scala.collection.mutable.HashMap[Long, Long]
       def find(x: Long): Long = {
@@ -649,7 +654,7 @@ object Dedup {
         while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      edges.collect().foreach { row =>
+      taken.foreach { row =>
         val a = row.getLong(0); val b = row.getLong(1)
         parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
         val (ra, rb) = (find(a), find(b))
