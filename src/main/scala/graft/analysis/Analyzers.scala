@@ -68,14 +68,17 @@ object Analyzers {
   /** tokenize → possessive → lowercase → stop → Porter (IcatAnalyzer). */
   def icatTokens(text: String): Array[String] = {
     val raw = WordBreak.tokenize(text)
-    val out = new scala.collection.mutable.ArrayBuffer[String](raw.length)
+    // flat array + cursor instead of ArrayBuffer+toArray: one allocation
+    // when nothing is a stopword (the common case), one copy otherwise
+    val out = new Array[String](raw.length)
+    var n = 0
     var i = 0
     while (i < raw.length) {
       val t = lowercase(stripPossessive(raw(i)))
-      if (!ScientificStopWords.contains(t)) out += PorterStemmer.stem(t)
+      if (!ScientificStopWords.contains(t)) { out(n) = PorterStemmer.stem(t); n += 1 }
       i += 1
     }
-    out.toArray
+    if (n == raw.length) out else java.util.Arrays.copyOf(out, n)
   }
 
   /** Gap-aware positional Icat chain: position = RAW token index, so a
@@ -84,14 +87,15 @@ object Analyzers {
     * phrase golden `"path ? data …"`, TestLucene.java:144-171). */
   def icatTokensPos(text: String): Array[PosTerm] = {
     val raw = WordBreak.tokenize(text)
-    val out = new scala.collection.mutable.ArrayBuffer[PosTerm](raw.length)
+    val out = new Array[PosTerm](raw.length)
+    var n = 0
     var i = 0
     while (i < raw.length) {
       val t = lowercase(stripPossessive(raw(i)))
-      if (!ScientificStopWords.contains(t)) out += PosTerm(PorterStemmer.stem(t), i)
+      if (!ScientificStopWords.contains(t)) { out(n) = PosTerm(PorterStemmer.stem(t), i); n += 1 }
       i += 1
     }
-    out.toArray
+    if (n == raw.length) out else java.util.Arrays.copyOf(out, n)
   }
 
   /** IcatAnalyzer equivalent: full-text analysis without synonyms. */

@@ -189,11 +189,12 @@ object IndexBuilder {
     } else {
       val analyzeUdf = udf((s: String) => {
         val a = analyzer(if (s == null) "" else s)
-        val counts = new java.util.LinkedHashMap[String, Int]()
+        val counts = new java.util.LinkedHashMap[String, Integer]()
         var i = 0
         while (i < a.terms.length) {
-          val t = a.terms(i)
-          counts.put(t, counts.getOrDefault(t, 0) + 1)
+          // single-probe upsert (merge) instead of getOrDefault + put
+          counts.merge(a.terms(i), Integer.valueOf(1),
+            (x: Integer, y: Integer) => Integer.valueOf(x.intValue() + y.intValue()))
           i += 1
         }
         val arr = new Array[(String, Int)](counts.size())

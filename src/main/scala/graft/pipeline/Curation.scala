@@ -38,12 +38,11 @@ object Curation {
     // so the tokenize+shingle pipeline runs once, not per leg (the same
     // recompute pitfall ngramJaccardPairs fixed); eager = false composes
     // lazily and recomputes
-    val sets0 = Dedup.shingleSets(corpus, n, idCol, textCol)
+    val sets0 = Dedup.hashedShingleSets(corpus, n, idCol, textCol)
     val sets = if (eager) sets0.persist() else sets0
     if (eager) sets.count()
     val hits = sets
-      .select(col("id"), explode(col("set")).as("shingle"))
-      .select(col("id"), xxhash64(col("shingle")).as("sh"))
+      .select(col("id"), explode(col("hset")).as("sh"))
       .join(broadcast(benchSh), "sh")
       .groupBy("id").agg(count(lit(1)).as("n_contaminated"))
     val lazyOut = sets.select(col("id"), col("sz").as("n_shingles"))
@@ -304,10 +303,9 @@ object Curation {
       case Some(b) =>
         val benchSh = Dedup.shingles(b, cfg.decontamShingle, idCol, textCol)
           .select(xxhash64(col("shingle")).as("sh")).distinct()
-        val contamIds = Dedup.shingleSetsFromTokens(
+        val contamIds = Dedup.hashedShingleSetsFromTokens(
             withToks.select(col(idCol).as("id"), col("__w").as("w")), cfg.decontamShingle)
-          .select(col("id"), explode(col("set")).as("g"))
-          .select(col("id").as(idCol), xxhash64(col("g")).as("sh"))
+          .select(col("id").as(idCol), explode(col("hset")).as("sh"))
           .join(broadcast(benchSh), "sh")
           .select(idCol).distinct()
         val keep = withToks.join(contamIds, Seq(idCol), "left_anti")
@@ -325,7 +323,7 @@ object Curation {
     // ---- stage 3: near-dup dedup (pairs → clusters → apply), shingles
     // derived from the SAME token cache, persisted once for the
     // self-join's two legs + the size lookups
-    val qsets = Dedup.shingleSetsFromTokens(
+    val qsets = Dedup.hashedShingleSetsFromTokens(
       qdocs.select(col(idCol).as("id"), col("__w").as("w")), cfg.dedupShingle).persist()
     qsets.count()
     val pairs = Dedup.jaccardPairsFromSets(qsets, cfg.dedupThreshold)
@@ -365,7 +363,11 @@ object Curation {
     * that tiny histogram (sz_a = Σ c over masks containing a; inter =
     * Σ c over masks containing both), so the gram-keyed self-join the
     * naive plan pays (two more full-size exchanges + join) never
-    * happens. The gate oracle replays over the gram STRINGS with a real
+    * happens. The summed (item → n) aggregate is BOUNDED BY
+    * CONSTRUCTION at ≤ nSrc + nSrc·(nSrc−1)/2 ≤ 1953 rows, so it
+    * collects and the nSrc²-row report assembles driver-side (round-6:
+    * the previous distributed tail paid three AQE broadcast
+    * materializations that each re-derived their subtree). The gate oracle replays over the gram STRINGS with a real
     * self-join, certifying both the 8-byte-key trade and the bitmask
     * algebra. Corpora with more than 62 sources need a wider mask
     * (array of longs) — out of scope until a real corpus needs it. */
@@ -380,45 +382,50 @@ object Curation {
     require(srcNames.length <= 62,
       s"sourceOverlap's bitmask plan supports <= 62 sources; got ${srcNames.length}")
     val bitLit = typedLit(srcNames.zipWithIndex.toMap)
-    val nameLit = typedLit(srcNames.zipWithIndex.map(_.swap).toMap)
-    val masks = Dedup.shingleSets(df, n, srcCol, textCol)
-      .select(col("id").as("src"), explode(col("set")).as("s"))
+    val masks = Dedup.hashedShingleSets(df, n, srcCol, textCol)
+      .select(col("id").as("src"), explode(col("hset")).as("h"))
       .where(col("src").isNotNull)
-      .select(xxhash64(col("s")).as("h"),
-        element_at(bitLit, col("src").cast("string")).as("b"))
+      .select(col("h"), element_at(bitLit, col("src").cast("string")).as("b"))
       .select(col("h"), expr("shiftleft(CAST(1 AS BIGINT), b)").as("bit"))
       .groupBy("h").agg(expr("bit_or(bit)").as("mask"))
-    val mc = masks.groupBy("mask").agg(count(lit(1)).as("c")).persist()
-    mc.count()
     val nSrc = srcNames.length
-    val bitsUdf = udf { (m: Long) =>
-      (0 until nSrc).filter(i => (m & (1L << i)) != 0L)
-    }
-    val pairsUdf = udf { (m: Long) =>
+    // ONE pass over the mask histogram emitting both report item kinds:
+    // (i, -1) = per-source size contribution, (i, j) = pair-intersection
+    // contribution; the aggregated output is BOUNDED BY CONSTRUCTION
+    // (≤ nSrc + nSrc·(nSrc−1)/2 rows ≤ 62 + 1891), so collecting it is
+    // driver-safe at any corpus size. The previous tail ran sizes and
+    // inter as separate legs plus a crossJoin + left join over them —
+    // three AQE broadcast materializations that EACH re-derived their
+    // subtree (measured ~8 extra core-s per call at sf0.1); the report
+    // algebra over ≤ nSrc² summed rows is driver arithmetic.
+    val itemsUdf = udf { (m: Long) =>
       val bs = (0 until nSrc).filter(i => (m & (1L << i)) != 0L)
-      for { i <- bs.indices; j <- (i + 1) until bs.length } yield (bs(i), bs(j))
+      bs.map(i => (i, -1)) ++
+        (for { i <- bs.indices; j <- (i + 1) until bs.length } yield (bs(i), bs(j)))
     }
-    val sizes = mc.select(explode(bitsUdf(col("mask"))).as("b"), col("c"))
-      .groupBy("b").agg(sum("c").as("sz"))
-      .select(element_at(nameLit, col("b")).as("src"), col("sz"))
-    val inter = mc.select(explode(pairsUdf(col("mask"))).as("p"), col("c"))
-      .groupBy("p").agg(sum("c").as("inter"))
-      .select(element_at(nameLit, col("p._1")).as("src_a"),
-        element_at(nameLit, col("p._2")).as("src_b"), col("inter"))
+    val summed = masks.groupBy("mask").agg(count(lit(1)).as("c"))
+      .select(explode(itemsUdf(col("mask"))).as("p"), col("c"))
+      .groupBy("p").agg(sum("c").as("n"))
+      .collect().map(r => (r.getStruct(0).getInt(0), r.getStruct(0).getInt(1),
+        r.getLong(1)))
+    val sz: Map[Int, Long] = summed.collect { case (i, -1, n) => i -> n }.toMap
+    val inter: Map[(Int, Int), Long] =
+      summed.collect { case (i, j, n) if j >= 0 => (i, j) -> n }.toMap
     // every source pair appears in the report — disjoint pairs carry
-    // inter = 0 (the histogram alone would silently drop them)
-    val out = sizes.select(col("src").as("src_a"), col("sz").as("sz_a"))
-      .crossJoin(sizes.select(col("src").as("src_b"), col("sz").as("sz_b")))
-      .where(col("src_a") < col("src_b"))
-      .join(inter, Seq("src_a", "src_b"), "left")
-      .withColumn("inter", coalesce(col("inter"), lit(0L)))
+    // inter = 0 (the histogram alone would silently drop them). jaccard
+    // is computed by Spark's own round(…, 6) over this local relation so
+    // the rounding semantics are bit-identical to the previous plan.
+    import df.sparkSession.implicits._
+    // only sources with ≥1 shingle participate (a shingle-less source was
+    // absent from the previous plan's sizes leg and from the oracle's)
+    val rows = for {
+      i <- 0 until nSrc if sz.contains(i)
+      j <- (i + 1) until nSrc if sz.contains(j)
+    } yield (srcNames(i), srcNames(j), inter.getOrElse((i, j), 0L), sz(i), sz(j))
+    rows.toDF("src_a", "src_b", "inter", "sz_a", "sz_b")
       .withColumn("jaccard",
         round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 6))
       .select("src_a", "src_b", "inter", "sz_a", "sz_b", "jaccard")
-      .persist()
-    out.count() // materialize (nSources² rows — tiny) before dropping mc
-    mc.unpersist()
-    out
   }
 
   // ---------------------------------------------------------------- token-budget mixing

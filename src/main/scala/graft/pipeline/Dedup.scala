@@ -29,6 +29,140 @@ object Dedup {
   private def tokensCol(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
 
+  /** JVM evaluation of Spark's `xxhash64` (seed 42) over the space-joined
+    * n-token window w(i..i+n) — BIT-IDENTICAL to
+    * `xxhash64(concat_ws(" ", slice(w, i+1, n)))` so hashed-window plans
+    * keep replaying against gram-string oracles. Fast path writes the
+    * ASCII window into a caller-owned scratch buffer (tokens from the
+    * pipeline tokenizer are [a-z0-9]+ by construction — zero String
+    * allocation per window); any non-ASCII char falls back to the
+    * String UTF-8 route with identical bytes. Returns the hash. */
+  private def xxWindow(w: Seq[String], i: Int, n: Int,
+                       buf0: Array[Byte]): (Long, Array[Byte]) = {
+    var buf = buf0
+    var len = 0
+    var j = 0
+    var ascii = true
+    while (ascii && j < n) {
+      val t = w(i + j)
+      val tl = t.length
+      if (len + tl + 1 > buf.length)
+        buf = java.util.Arrays.copyOf(buf, math.max(buf.length * 2, len + tl + 1))
+      if (j > 0) { buf(len) = ' '; len += 1 }
+      var k = 0
+      while (k < tl) {
+        val c = t.charAt(k)
+        if (c > 127) ascii = false
+        buf(len) = c.toByte; len += 1; k += 1
+      }
+      j += 1
+    }
+    val h =
+      if (ascii)
+        org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, 42L)
+      else {
+        val s = w.slice(i, i + n).mkString(" ")
+        val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
+      }
+    (h, buf)
+  }
+
+  /** Per-document DISTINCT hashed shingle sets: (id, hset: array<long>,
+    * sz) — the 8-byte-key form of [[shingleSetsFromTokens]] with the
+    * downstream `xxhash64(shingle)` folded INTO the set builder: the
+    * ~n-word shingle string is never materialized (one scratch-buffer
+    * hash per window position instead of a StringBuilder + String +
+    * LinkedHashSet<String> per window — the string build dominated the
+    * jaccard family's set pass). Distinctness is by the 64-bit hash, so
+    * two distinct in-document shingles colliding in 64 bits count once
+    * where the string set counted twice — strictly more correct for
+    * overlap counting, and unobservable below ~10^9 distinct shingles
+    * per doc (the documented birthday bound). */
+  private[pipeline] def hashedShingleSetsFromTokens(df: DataFrame, n: Int): DataFrame = {
+    val shUdf = udf { (w: Seq[String]) =>
+      if (w == null || w.length < n) Array.empty[Long]
+      else {
+        val seen = new java.util.LinkedHashSet[java.lang.Long]()
+        var buf = new Array[Byte](128)
+        var i = 0
+        while (i + n <= w.length) {
+          val (h, b) = xxWindow(w, i, n, buf)
+          buf = b
+          seen.add(h)
+          i += 1
+        }
+        val out = new Array[Long](seen.size())
+        val it = seen.iterator()
+        var x = 0
+        while (it.hasNext) { out(x) = it.next(); x += 1 }
+        out
+      }
+    }
+    df.where(size(col("w")) >= n)
+      .select(col("id"), shUdf(col("w")).as("hset"))
+      .withColumn("sz", size(col("hset")).cast("long"))
+  }
+
+  /** [[hashedShingleSetsFromTokens]] from raw text. */
+  private[pipeline] def hashedShingleSets(df: DataFrame, n: Int, idCol: String,
+                                          textCol: String): DataFrame =
+    hashedShingleSetsFromTokens(
+      spread(df).select(col(idCol).as("id"), tokensCol(col(textCol)).as("w")), n)
+
+  /** FNV-1a64 of the space-joined n-token window — char-fold identical to
+    * [[fnv1a64]] of the joined string, with no string materialized. */
+  private def fnvWindow(w: Seq[String], i: Int, n: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var j = 0
+    while (j < n) {
+      if (j > 0) { h ^= ' '.toLong; h *= 0x100000001b3L }
+      val t = w(i + j)
+      var k = 0
+      while (k < t.length) { h ^= t.charAt(k).toLong; h *= 0x100000001b3L; k += 1 }
+      j += 1
+    }
+    h
+  }
+
+  /** Dual-hashed distinct shingle sets for the MinHash path: (id, hset:
+    * array<long> xxhash64 keys, fset: array<long> FNV-1a keys, sz) —
+    * one aligned pair per first-seen window (distinctness by the
+    * xxhash64 key, as in [[hashedShingleSetsFromTokens]]). The FNV keys
+    * feed the signature (the oracle replays FNV over gram strings), the
+    * xxhash64 keys feed the exact-verify overlap join. */
+  private[pipeline] def dualHashedShingleSets(df: DataFrame, n: Int, idCol: String,
+                                              textCol: String): DataFrame = {
+    val shUdf = udf { (w: Seq[String]) =>
+      if (w == null || w.length < n) (Array.empty[Long], Array.empty[Long])
+      else {
+        val seen = new java.util.LinkedHashSet[java.lang.Long]()
+        val fs = new scala.collection.mutable.ArrayBuffer[Long](w.length - n + 1)
+        var buf = new Array[Byte](128)
+        var i = 0
+        while (i + n <= w.length) {
+          val (h, b) = xxWindow(w, i, n, buf)
+          buf = b
+          if (seen.add(h)) fs += fnvWindow(w, i, n)
+          i += 1
+        }
+        val out = new Array[Long](seen.size())
+        val it = seen.iterator()
+        var x = 0
+        while (it.hasNext) { out(x) = it.next(); x += 1 }
+        (out, fs.toArray)
+      }
+    }
+    spread(df)
+      .select(col(idCol).as("id"), tokensCol(col(textCol)).as("w"))
+      .where(size(col("w")) >= n)
+      .select(col("id"), shUdf(col("w")).as("hs"))
+      .select(col("id"), col("hs._1").as("hset"), col("hs._2").as("fset"))
+      .withColumn("sz", size(col("hset")).cast("long"))
+  }
+
   /** Ensure at least the session's default parallelism for the CPU-heavy
     * per-row stages (tokenize / shingle / hash): a local test input often
     * arrives as ONE parquet file — one partition — which serializes the
@@ -100,6 +234,13 @@ object Dedup {
     * once. */
   private[pipeline] def spansFromTokens(toks: DataFrame, n: Int, minDocs: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // NOTE (round 6): tried replacing this HOF with a scratch-buffer UDF
+    // (as in hashedShingleSetsFromTokens) — slower: the HOF's concat_ws/
+    // slice/xxhash64 all operate on Catalyst UTF8String bytes in place,
+    // while a UDF pays a full ArrayData -> Seq[String] conversion per row
+    // (measured +19% task CPU on the windows job). The set-builder UDFs
+    // win because they ALSO replace a per-window String + LinkedHashSet
+    // allocation; here the only per-window product is the hash.
     val wins = toks
       .where(size(col("w")) >= n)
       .select(col("id"), posexplode(when(size(col("w")) >= n, // guard as in shingleSetsFromTokens
@@ -245,14 +386,13 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select(col("ida"), col("idb"), round(col("jaccard"), 4).as("jaccard"))
 
-  /** Exact uncapped Jaccard pairs over an already-built (id, set, sz)
-    * shingle-set frame (callers persist it when it feeds several legs —
-    * Curation.pipeline's shared-cache composition). Lazy: no persist, no
-    * count. */
+  /** Exact uncapped Jaccard pairs over an already-built HASHED
+    * (id, hset, sz) shingle-set frame ([[hashedShingleSetsFromTokens]];
+    * callers persist it when it feeds several legs — Curation.pipeline's
+    * shared-cache composition). Lazy: no persist, no count. */
   private[pipeline] def jaccardPairsFromSets(sets: DataFrame,
                                              threshold: Double): DataFrame = {
-    val sh = sets.select(col("id"), explode(col("set")).as("s"))
-      .select(col("id"), xxhash64(col("s")).as("shingle"))
+    val sh = sets.select(col("id"), explode(col("hset")).as("shingle"))
     val common = sh.select(col("id").as("ida"), col("shingle"))
       .join(sh.select(col("id").as("idb"), col("shingle")), "shingle")
       .where(col("ida") < col("idb"))
@@ -293,15 +433,14 @@ object Dedup {
     // shingle string (the DuckDB gate oracle replays over the strings and
     // stays hash-identical). Uncapped: self-join + pair agg. Capped: hot
     // df agg, rare self-join + pair agg, hot-rows-only per-doc agg.
-    val sets0 = shingleSets(df, n, idCol, textCol)
+    val sets0 = hashedShingleSets(df, n, idCol, textCol)
     val sets = if (eager) sets0.persist() else sets0
     // materialize the cache BEFORE the multi-leg plan below: its legs
     // launch concurrent stages, and a cold cache makes each of them
     // recompute the whole tokenize+shingle pipeline (measured 6× on the
     // sf0.1 gate) instead of reading the one materialized copy
     if (eager) sets.count()
-    val sh = sets.select(col("id"), explode(col("set")).as("s"))
-      .select(col("id"), xxhash64(col("s")).as("shingle"))
+    val sh = sets.select(col("id"), explode(col("hset")).as("shingle"))
     val sizes = sets.select(col("id"), col("sz"))
     val capped = hotShingleDfCap != Long.MaxValue
     val (common, hotPerDocOpt) =
@@ -415,6 +554,25 @@ object Dedup {
     })
   }
 
+  /** [[minhashSigUdf]] over PRE-FNV-HASHED shingle keys (the dual-hashed
+    * set form) — same arithmetic from the first affine evaluation on. */
+  private def minhashSigFromFnvUdf(numHashes: Int, seed: Long) = {
+    val coeffs = minhashCoeffs(numHashes, seed)
+    udf((fnvs: Seq[Long]) => {
+      val buf = Array.fill(numHashes)(Long.MaxValue)
+      fnvs.foreach { x =>
+        var i = 0
+        while (i < numHashes) {
+          val (a, b) = coeffs(i)
+          val v = affineHash(a, b, x)
+          if (v < buf(i)) buf(i) = v
+          i += 1
+        }
+      }
+      buf.toSeq
+    })
+  }
+
   /** Mersenne prime 2^61 − 1 — the MinHash hash field. */
   val MinHashP: Long = (1L << 61) - 1
 
@@ -448,8 +606,8 @@ object Dedup {
   def minhashSignatures(df: DataFrame, numHashes: Int = 64, seed: Long = 42L,
                         n: Int = 5, idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame =
-    shingleSets(df, n, idCol, textCol)
-      .select(col("id"), minhashSigUdf(numHashes, seed)(col("set")).as("sig"))
+    dualHashedShingleSets(df, n, idCol, textCol)
+      .select(col("id"), minhashSigFromFnvUdf(numHashes, seed)(col("fset")).as("sig"))
 
   /** MinHash + LSH near-dup pairs: band the signatures (bands × rowsPerBand
     * = numHashes), bucket-join on (band, bandHash) to get candidates, then
@@ -466,14 +624,13 @@ object Dedup {
     // verify-join sides, sizes); with no exchange left to reuse after the
     // shuffle-free distinct, persist them once in eager mode instead of
     // re-tokenizing per leg (eager = false composes lazily and recomputes)
-    val sets0 = shingleSets(df, n, idCol, textCol)
+    val sets0 = dualHashedShingleSets(df, n, idCol, textCol)
     val sets = if (eager) sets0.persist() else sets0
     // materialize before the multi-leg plan (same reason as
     // ngramJaccardPairs: cold-cache legs each recompute the pipeline)
     if (eager) sets.count()
-    val shStr = sets.select(col("id"), explode(col("set")).as("shingle"))
     val sig = sets.select(col("id"),
-      minhashSigUdf(numHashes, seed)(col("set")).as("sig"))
+      minhashSigFromFnvUdf(numHashes, seed)(col("fset")).as("sig"))
     val banded = bandKeys(sig, bands, rows)
     val l = banded.toDF("ida", "band", "bh")
     val r = banded.toDF("idb", "band", "bh")
@@ -484,7 +641,7 @@ object Dedup {
     // verify candidates exactly: join back to the hashed shingle sets
     // (8-byte keys in both the equi-join and the overlap count); sizes
     // come shuffle-free from the per-doc arrays
-    val sh = shStr.select(col("id"), xxhash64(col("shingle")).as("shingle"))
+    val sh = sets.select(col("id"), explode(col("hset")).as("shingle"))
     val sizes = sets.select(col("id"), col("sz"))
     val common = candidates
       .join(sh.toDF("ida", "shingle"), "ida")

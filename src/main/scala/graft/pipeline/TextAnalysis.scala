@@ -287,7 +287,7 @@ object TextAnalysis {
   def topNgrams(df: DataFrame, n: Int = 3, k: Int = 20,
                 textCol: String = "text"): DataFrame = {
     require(n >= 1 && k >= 1, s"need n >= 1 and k >= 1; got n=$n k=$k")
-    df.select(toks(col(textCol)).as("w"))
+    Dedup.spread(df).select(toks(col(textCol)).as("w"))
       .where(size(col("w")) >= n)
       // guard repeated inside the expr, see shingleSetsFromTokens
       .select(explode(when(size(col("w")) >= n,
@@ -325,6 +325,10 @@ object TextAnalysis {
     require(budgetTokens > 0, s"need budgetTokens > 0, got $budgetTokens")
     import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession
+    // no spread() here: the size-only tokenize is light enough that a
+    // round-robin exchange of the text costs more than the single-task
+    // pass saves (A/B-measured +0.3 s at sf0.1); the range exchange
+    // below redistributes the narrow projection anyway
     val counts = df
       .select(col(idCol),
         size(filter(split(col(textCol), "\\s+"), t => t =!= "")).cast("long").as("n"))
