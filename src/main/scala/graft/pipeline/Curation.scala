@@ -442,7 +442,10 @@ object Curation {
     * is a strict prefix: rerunning with a BIGGER budget only ADDS
     * docs, never swaps them (the property epoch-over-epoch mixing
     * needs). Sources absent from `budgets` are dropped. Returns
-    * (idCol, srcCol, n_tokens, cum_tokens), cum_tokens inclusive.
+    * (idCol, srcCol, n_tokens, cum_tokens), cum_tokens inclusive — a
+    * PERSISTED frame owned by the caller: unpersist it when done (the
+    * same ownership contract as the other eager persisted-return
+    * operators, e.g. ngramJaccardPairs).
     *
     * Scale shape: a per-source cumsum window would put a whole source
     * (billions of rows — sources are an enum) on one task, so the

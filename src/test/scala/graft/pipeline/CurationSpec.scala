@@ -194,10 +194,11 @@ class CurationSpec extends SparkSuite {
     // src2 unbounded → the whole source survives
     assert(rows.count(_._2 == "src2") === base.count(_._2 == "src2"))
     // prefix property: a bigger budget only ADDS docs
-    val bigger = Curation.mixToBudget(docs, Map("src0" -> 600L))
-      .collect().map(_.getLong(0)).toSet
+    val biggerDf = Curation.mixToBudget(docs, Map("src0" -> 600L))
+    val bigger = biggerDf.collect().map(_.getLong(0)).toSet
     val smaller = rows.filter(_._2 == "src0").map(_._1).toSet
     assert(smaller.subsetOf(bigger))
+    biggerDf.unpersist() // caller-owned persisted return (see scaladoc)
     out.unpersist()
   }
 }
