@@ -287,7 +287,10 @@ object TextAnalysis {
   def topNgrams(df: DataFrame, n: Int = 3, k: Int = 20,
                 textCol: String = "text"): DataFrame = {
     require(n >= 1 && k >= 1, s"need n >= 1 and k >= 1; got n=$n k=$k")
-    Dedup.spread(df).select(toks(col(textCol)).as("w"))
+    // no spread(): interleaved A/B vs the round-5 tree measured the added
+    // text exchange as a net +0.1 s here (the explode feeds a hash
+    // aggregate that redistributes anyway)
+    df.select(toks(col(textCol)).as("w"))
       .where(size(col("w")) >= n)
       // guard repeated inside the expr, see shingleSetsFromTokens
       .select(explode(when(size(col("w")) >= n,
