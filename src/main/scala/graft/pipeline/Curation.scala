@@ -297,10 +297,14 @@ object Curation {
     val withToks = Dedup.spread(corpus)
       .withColumn("__w", TextAnalysis.simpleToks(col(textCol)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nInput = withToks.count() // materialize the shared cache ONCE
-    // ---- stage 1 (optional): benchmark decontamination
-    val (base, nContam) = benchmark match {
+    // nInput rides the first materializing action instead of a dedicated
+    // count() job (round 6 — one less serial stage): with no
+    // decontamination stage, the quality pass below both fills the token
+    // cache and observes the pre-filter row count; with one, the
+    // decontamination count plays that role.
+    val (base, nInput, nContam) = benchmark match {
       case Some(b) =>
+        val n0 = withToks.count() // materialize the shared cache ONCE
         val benchSh = Dedup.shingles(b, cfg.decontamShingle, idCol, textCol)
           .select(xxhash64(col("shingle")).as("sh")).distinct()
         val contamIds = Dedup.hashedShingleSetsFromTokens(
@@ -311,14 +315,26 @@ object Curation {
         val keep = withToks.join(contamIds, Seq(idCol), "left_anti")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val n = keep.count()
-        (keep, nInput - n)
-      case None => (withToks, 0L)
+        (keep, n0, n0 - n)
+      case None => (withToks, -1L, 0L) // nInput observed below
     }
     // ---- stage 2: composite quality filter (signals off the token cache)
+    val inObs = org.apache.spark.sql.Observation()
     val qIds = qualityFilterFromTokens(
         base.select(col(idCol), col("__w")), cfg.quality, idCol)
+      .observe(inObs, count(lit(1)).as("n")) // one row per input doc
       .filter(col("pass")).select(idCol).persist()
     val nQPass = qIds.count()
+    val nInputFinal =
+      if (nInput >= 0) nInput
+      else {
+        // zero-field row when the observed subtree folded empty (see
+        // IndexBuilder.obsLong)
+        val row = scala.concurrent.Await.result(
+          inObs.future, scala.concurrent.duration.Duration.Inf)
+        val i = Option(row.schema).map(_.fieldNames.indexOf("n")).getOrElse(-1)
+        if (i < 0 || row.isNullAt(i)) 0L else row.getLong(i)
+      }
     val qdocs = base.join(qIds, Seq(idCol))
     // ---- stage 3: near-dup dedup (pairs → clusters → apply), shingles
     // derived from the SAME token cache, persisted once for the
@@ -340,8 +356,8 @@ object Curation {
     qsets.unpersist(); qIds.unpersist(); withToks.unpersist()
     if (base ne withToks) base.unpersist()
     CurationResult(kept, CurationCounts(
-      input = nInput, contaminated = nContam,
-      qualityFailed = nInput - nContam - nQPass, dupDropped = nDup,
+      input = nInputFinal, contaminated = nContam,
+      qualityFailed = nInputFinal - nContam - nQPass, dupDropped = nDup,
       sampledOut = nQPass - nDup - nKept, kept = nKept))
   }
 
